@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: codec round-trip throughput on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: decode throughput in Mpixels/s on a 512x768 image
+(Kodak-size).  Baseline: the reference decodes ~512x768 in ~0.65 s on a
+GPU + CPU torchac => ~0.60 Mpixels/s (BASELINE.md, per-image log lines).
+Extra metrics (encode speed, bpsp, losslessness) go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    # persistent compile cache: first-run compiles through the TPU tunnel
+    # dominate wall-clock otherwise
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/llicti_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from llicti_tpu.codec import Codec
+    from llicti_tpu.config import ModelConfig
+    from llicti_tpu.data.dataset import synthetic_image
+    from llicti_tpu.models.llicti import LLICTIModel
+
+    H, W = 512, 768
+    cfg = ModelConfig()
+    model = LLICTIModel(cfg=cfg)
+    import jax.numpy as jnp
+
+    init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), init_x)
+    codec = Codec(cfg, params)
+    img = synthetic_image(H, W, seed=42)
+
+    # warmup (compile)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    ok = bool(np.array_equal(out[0], img))
+
+    n_rep = 3
+    t0 = time.time()
+    for _ in range(n_rep):
+        streams = codec.compress(img)
+    enc_t = (time.time() - t0) / n_rep
+    t0 = time.time()
+    for _ in range(n_rep):
+        out = codec.decompress(streams)
+    dec_t = (time.time() - t0) / n_rep
+
+    mp = H * W / 1e6
+    bpsp = Codec.num_bytes(streams) * 8 / img.size
+    dec_mps = mp / dec_t
+    enc_mps = mp / enc_t
+    baseline_dec_mps = 0.60  # reference: ~0.65 s for 512x768 (BASELINE.md)
+
+    print(
+        f"encode {enc_mps:.2f} MP/s ({enc_t*1000:.0f} ms) | "
+        f"decode {dec_mps:.2f} MP/s ({dec_t*1000:.0f} ms) | "
+        f"bpsp {bpsp:.3f} | lossless={ok} | device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "decode_throughput_512x768",
+        "value": round(dec_mps, 3),
+        "unit": "Mpixels/s",
+        "vs_baseline": round(dec_mps / baseline_dec_mps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Image data pipeline: directory datasets + deterministic synthetic data.
+
+Replaces the reference's PIL + torch DataLoader stack
+(dataloaders/image_dl.py:16-111) with a light-weight threaded prefetch
+pipeline feeding numpy batches (host) that the trainer device_puts with
+the right sharding.  Semantics kept:
+
+* train: random crop (patch_size) + random horizontal flip (NO vertical
+  flip — reference comment image_dl.py:75), images smaller than the crop
+  upscaled to fit;
+* eval: center crop (val_patch_size) or full image when size==0;
+* patches_per_img > 1 stacks multiple random crops per image.
+
+A synthetic dataset (gradients+texture+noise, seeded) enables tests and
+benches without any image files.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:  # PIL is available in the image; degrade gracefully without it
+    from PIL import Image
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    _HAS_PIL = False
+
+_EXTS = (".png", ".jpg", ".jpeg")
+
+
+def list_images(roots: Sequence[str]) -> List[str]:
+    files: List[str] = []
+    for root in roots:
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"Dataset dir not found (drive unmounted?): {root}")
+        files += [os.path.join(root, f) for f in sorted(os.listdir(root))
+                  if f.lower().endswith(_EXTS)]
+    return files
+
+
+def load_rgb(path: str) -> np.ndarray:
+    assert _HAS_PIL, "PIL unavailable"
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def synthetic_image(h: int, w: int, seed: int) -> np.ndarray:
+    """Natural-ish deterministic image: smooth fields + texture + noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    f1, f2, f3 = rng.uniform(9, 31, 3)
+    ph = rng.uniform(0, 6.28, 4)
+    base = (
+        120
+        + 70 * np.sin(yy / f1 + ph[0]) * np.cos(xx / f2 + ph[1])
+        + 45 * np.sin((xx + yy) / f3 + ph[2])
+    )
+    tex = 10 * np.sin(xx * 1.3 + ph[3]) * np.sin(yy * 1.7)
+    img = np.stack(
+        [base + tex, 0.85 * base + 25 + tex, 0.7 * base + 45], axis=-1)
+    img = img + rng.normal(0, 5, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class ImageDataset:
+    """Random-access dataset of [H, W, 3] uint8 images."""
+
+    def __init__(
+        self,
+        roots: Sequence[str] = (),
+        synthetic_len: int = 0,
+        synthetic_size: int = 256,
+        seed: int = 0,
+    ):
+        self.files = list_images(roots) if roots else []
+        self.synthetic_len = synthetic_len
+        self.synthetic_size = synthetic_size
+        self.seed = seed
+        if not self.files and not synthetic_len:
+            raise ValueError("empty dataset: no roots and no synthetic_len")
+
+    def __len__(self) -> int:
+        return len(self.files) or self.synthetic_len
+
+    def get(self, i: int) -> np.ndarray:
+        if self.files:
+            return load_rgb(self.files[i])
+        return synthetic_image(self.synthetic_size, self.synthetic_size,
+                               self.seed * 1_000_003 + i)
+
+
+def _resize_to_fit(img: np.ndarray, min_h: int, min_w: int) -> np.ndarray:
+    """Upscale (nearest) so both dims are >= the crop size.
+
+    Reference uses PIL ImageOps.fit (image_dl.py:85-97); nearest keeps the
+    8-bit distribution intact which matters for a lossless codec.
+    """
+    h, w = img.shape[:2]
+    if h >= min_h and w >= min_w:
+        return img
+    sh = max(1.0, min_h / h)
+    sw = max(1.0, min_w / w)
+    s = max(sh, sw)
+    nh, nw = int(np.ceil(h * s)), int(np.ceil(w * s))
+    ri = (np.arange(nh) * h // nh).astype(np.int64)
+    ci = (np.arange(nw) * w // nw).astype(np.int64)
+    return img[ri][:, ci]
+
+
+def random_patch(img: np.ndarray, size: int, rng: np.random.Generator,
+                 hflip: bool = True) -> np.ndarray:
+    img = _resize_to_fit(img, size, size)
+    h, w = img.shape[:2]
+    y = int(rng.integers(0, h - size + 1))
+    x = int(rng.integers(0, w - size + 1))
+    patch = img[y:y + size, x:x + size]
+    if hflip and rng.random() < 0.5:
+        patch = patch[:, ::-1]
+    return np.ascontiguousarray(patch)
+
+
+def center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    if size == 0:
+        return img
+    img = _resize_to_fit(img, size, size)
+    h, w = img.shape[:2]
+    y = (h - size) // 2
+    x = (w - size) // 2
+    return np.ascontiguousarray(img[y:y + size, x:x + size])
+
+
+class TrainLoader:
+    """Shuffled, threaded-prefetch batches of random patches.
+
+    Yields float32 [acc, B, P, P, 3] in [0, 1] per optimizer step, where
+    acc = grad_acc_iters (the microbatch axis consumed by the scanned
+    train step).
+    """
+
+    def __init__(self, dataset: ImageDataset, batch_size: int,
+                 patch_size: int, grad_acc: int = 1, patches_per_img: int = 1,
+                 seed: int = 1337, num_threads: int = 2,
+                 prefetch: int = 4):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.grad_acc = grad_acc
+        self.patches_per_img = patches_per_img
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def steps_per_epoch(self) -> int:
+        n_patches = len(self.ds) * self.patches_per_img
+        return max(1, n_patches // (self.batch_size * self.grad_acc))
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(len(self.ds))
+        if self.patches_per_img > 1:
+            order = np.repeat(order, self.patches_per_img)
+            order = rng.permutation(order)
+        bs = self.batch_size * self.grad_acc
+        n_steps = len(order) // bs
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for s in range(n_steps):
+                    if stop.is_set():
+                        return
+                    idxs = order[s * bs:(s + 1) * bs]
+                    srng = np.random.default_rng(
+                        (self.seed, self.epoch, s))
+                    patches = [
+                        random_patch(self.ds.get(int(i)), self.patch_size, srng)
+                        for i in idxs
+                    ]
+                    batch = np.stack(patches).astype(np.float32) / 255.0
+                    batch = batch.reshape(self.grad_acc, self.batch_size,
+                                          self.patch_size, self.patch_size, 3)
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+        self.epoch += 1
+
+
+class EvalLoader:
+    """Sequential full/center-cropped images, batch of 1 (like reference
+    test/valid loaders, image_dl.py:40-51)."""
+
+    def __init__(self, dataset: ImageDataset, patch_size: int = 0):
+        self.ds = dataset
+        self.patch_size = patch_size
+
+    def __iter__(self):
+        for i in range(len(self.ds)):
+            img = center_crop(self.ds.get(i), self.patch_size)
+            yield img[None].astype(np.float32) / 255.0
+
+    def iter_uint8(self):
+        for i in range(len(self.ds)):
+            yield center_crop(self.ds.get(i), self.patch_size)

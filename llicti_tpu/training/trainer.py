@@ -1,0 +1,302 @@
+"""Experiment runtime: the agent equivalent (train/validate/eval loops).
+
+Mirrors the reference lifecycle (agents/base.py:13-150,
+agents/llicti_agent.py:14-207):
+* epoch loop with mid-epoch validation + best-checkpoint every
+  loss_prnt_iters optimizer steps,
+* ReduceLROnPlateau stepped on validation loss,
+* checkpoint-on-exception and checkpoint-on-finalize,
+* eval_model: real codec round-trip with bit-exactness check, bpsp from
+  actual bytes, per-image enc/dec timing,
+* model_size / flops estimation via jax cost analysis.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import Codec
+from ..config import LLICTIConfig
+from ..data.dataset import EvalLoader, ImageDataset, TrainLoader
+from ..models.llicti import LLICTIModel
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging_utils import RateLogger, setup_logging
+from .schedule import ReduceLROnPlateau
+from .steps import (TrainState, get_learning_rate, init_state, make_eval_step,
+                    make_train_step, set_learning_rate)
+
+
+def pad_to_multiple(x: np.ndarray, mult: int) -> np.ndarray:
+    """Replicate-pad H, W (axis 1, 2) up to a multiple (reference
+    agents/llicti_agent.py:105-113)."""
+    h, w = x.shape[1], x.shape[2]
+    nh = -(-h // mult) * mult
+    nw = -(-w // mult) * mult
+    if nh == h and nw == w:
+        return x
+    return np.pad(x, ((0, 0), (0, nh - h), (0, nw - w), (0, 0)), mode="edge")
+
+
+class Trainer:
+    def __init__(self, config: LLICTIConfig, mesh=None, use_mesh: bool = False):
+        self.config = config
+        cfg = config.model
+        tc = config.train
+        setup_logging(config.log_dir)
+        self.logger = logging.getLogger("Agent")
+        self.model = LLICTIModel(cfg=cfg)
+        self.mesh = mesh if mesh is not None else (
+            make_mesh() if use_mesh else None)
+
+        # datasets
+        dc = config.data
+        if dc.synthetic or not dc.train_dirs:
+            train_ds = ImageDataset(synthetic_len=dc.synthetic_len,
+                                    synthetic_size=max(tc.patch_size, 64),
+                                    seed=tc.seed)
+            valid_ds = ImageDataset(synthetic_len=max(4, dc.synthetic_len // 32),
+                                    synthetic_size=max(tc.patch_size, 64),
+                                    seed=tc.seed + 1)
+            test_ds = valid_ds
+        else:
+            train_ds = ImageDataset(dc.train_dirs)
+            valid_ds = ImageDataset([dc.valid_dir])
+            test_ds = ImageDataset([dc.test_dir])
+        self.train_loader = TrainLoader(
+            train_ds, tc.batch_size, tc.patch_size, tc.grad_acc_iters,
+            tc.patches_per_img, seed=tc.seed)
+        self.valid_loader = EvalLoader(valid_ds, tc.val_patch_size)
+        self.test_loader = EvalLoader(test_ds, 0)
+
+        # state
+        sample = jnp.zeros(
+            (tc.grad_acc_iters, tc.batch_size, tc.patch_size, tc.patch_size, 3),
+            jnp.float32)
+        self.state, self.tx = init_state(
+            self.model, cfg, jax.random.PRNGKey(tc.seed), sample[0],
+            tc.learning_rate, tc.grad_clip_value)
+        step_fn = make_train_step(self.model, self.tx)
+        if self.mesh is not None:
+            repl = replicated(self.mesh)
+            bsh = batch_sharding(self.mesh, has_acc_axis=True)
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, repl), self.state)
+            self.train_step = jax.jit(step_fn, in_shardings=(repl, bsh),
+                                      out_shardings=(repl, repl))
+            self.batch_sharding = bsh
+        else:
+            self.train_step = jax.jit(step_fn)
+            self.batch_sharding = None
+        self.eval_step = jax.jit(make_eval_step(self.model))
+
+        self.scheduler = ReduceLROnPlateau(
+            lr=tc.learning_rate, factor=tc.lr_factor, patience=tc.lr_patience,
+            cooldown=tc.lr_cooldown, min_lr=tc.lr_min,
+            threshold=tc.lr_threshold)
+        self.train_logger = RateLogger()
+        self.trnit_logger = RateLogger()
+        self.valid_logger = RateLogger()
+        self.test_logger = RateLogger()
+        self.ckpt = CheckpointManager(config.checkpoint_dir)
+        self.current_epoch = 0
+        self.current_iteration = 0
+        self.best_valid_loss = float("inf")
+
+        if config.mode in ("test", "validate", "eval_model", "debug"):
+            self.load_checkpoint("model_best", missing_ok=True)
+        elif tc.resume_training:
+            self.load_checkpoint(tc.checkpoint_file, missing_ok=True)
+        self.model_size_estimation()
+
+    # --- checkpointing -----------------------------------------------------
+    def save_checkpoint(self, name: str = "checkpoint",
+                        is_best: bool = False) -> None:
+        meta = {
+            "epoch": self.current_epoch,
+            "iteration": self.current_iteration,
+            "best_valid_loss": self.best_valid_loss,
+            "scheduler": self.scheduler.state_dict(),
+            "train_logger": self.train_logger.state_dict(),
+            "trnit_logger": self.trnit_logger.state_dict(),
+            "valid_logger": self.valid_logger.state_dict(),
+        }
+        self.ckpt.save(name, self.state, meta, is_best=is_best)
+
+    def load_checkpoint(self, name: str, missing_ok: bool = False) -> bool:
+        try:
+            state, meta = self.ckpt.load(name, self.state)
+        except FileNotFoundError:
+            if missing_ok:
+                self.logger.info(
+                    "!!! No checkpoint '%s'; continuing with fresh params",
+                    name)
+                return False
+            raise
+        self.state = state
+        self.current_epoch = meta.get("epoch", 0)
+        self.current_iteration = meta.get("iteration", 0)
+        self.best_valid_loss = meta.get("best_valid_loss", float("inf"))
+        if "scheduler" in meta:
+            self.scheduler.load_state_dict(meta["scheduler"])
+            self.state = set_learning_rate(self.state, self.scheduler.lr)
+        for key, lg in (("train_logger", self.train_logger),
+                        ("trnit_logger", self.trnit_logger),
+                        ("valid_logger", self.valid_logger)):
+            if key in meta:
+                lg.load_state_dict(meta[key])
+        self.logger.info("Checkpoint '%s' loaded (epoch %d, iter %d)",
+                         name, self.current_epoch, self.current_iteration)
+        return True
+
+    # --- loops -------------------------------------------------------------
+    def run(self) -> None:
+        mode = self.config.mode
+        try:
+            if mode in ("train", "debug"):
+                self.train()
+            elif mode == "validate":
+                self.validate()
+            elif mode == "test":
+                pass  # reference test() is an empty stub too
+            elif mode == "eval_model":
+                self.eval_model()
+            elif mode == "model_size":
+                self.model_size_estimation(print_params=True)
+            elif mode == "flops_est":
+                self.flops_estimation()
+            else:
+                raise NameError(f"'{mode}' is not a valid mode")
+        except KeyboardInterrupt:
+            self.logger.info("CTRL+C received; finalizing")
+        except Exception:
+            # crash-safety save (reference base.py:128-130) — but only if this
+            # run actually made progress, so a mode typo can't clobber a good
+            # checkpoint with fresh params
+            if self.current_iteration > 0:
+                self.save_checkpoint()
+            raise
+
+    def finalize(self) -> None:
+        if self.config.mode in ("train", "debug") and self.current_iteration > 0:
+            self.save_checkpoint()
+
+    def train(self, max_steps: Optional[int] = None) -> None:
+        tc = self.config.train
+        for epoch in range(self.current_epoch, tc.max_epoch):
+            self.current_epoch = epoch
+            self.train_one_epoch(max_steps=max_steps)
+            if (self.current_epoch + 1) % tc.validate_every == 0:
+                valid_loss = self.validate()
+                is_best = valid_loss < self.best_valid_loss
+                if is_best:
+                    self.best_valid_loss = valid_loss
+                self.save_checkpoint(is_best=is_best)
+            self.current_epoch += 1
+            if max_steps is not None and self.current_iteration >= max_steps:
+                break
+
+    def train_one_epoch(self, max_steps: Optional[int] = None) -> None:
+        tc = self.config.train
+        for batch in self.train_loader:
+            if self.batch_sharding is not None:
+                batch = jax.device_put(batch, self.batch_sharding)
+            self.state, metrics = self.train_step(self.state, jnp.asarray(batch))
+            bd = np.asarray(metrics["breakdown"])
+            self.train_logger(bd)
+            self.trnit_logger(bd)
+            self.current_iteration += 1
+            if (self.current_iteration + 1) % tc.loss_prnt_iters == 0:
+                self.trnit_logger.display(lr=get_learning_rate(self.state),
+                                          typ="it")
+                valid_loss = self.validate()
+                is_best = valid_loss < self.best_valid_loss
+                if is_best:
+                    self.best_valid_loss = valid_loss
+                self.save_checkpoint(is_best=is_best)
+            if max_steps is not None and self.current_iteration >= max_steps:
+                break
+        if self.train_logger.rates:
+            self.train_logger.display(lr=get_learning_rate(self.state),
+                                      typ="tr")
+
+    def validate(self) -> float:
+        mult = 2 ** (max(self.config.model.dwtlevels) + 1)
+        for batch in self.valid_loader:
+            batch = pad_to_multiple(batch, mult)
+            _, bd = self.eval_step(self.state.params, jnp.asarray(batch))
+            self.valid_logger(np.asarray(bd))
+        loss, _ = self.valid_logger.display(typ="va")
+        new_lr = self.scheduler.step(loss)
+        if abs(new_lr - get_learning_rate(self.state)) > 1e-12:
+            self.state = set_learning_rate(self.state, new_lr)
+        return loss
+
+    def eval_model(self):
+        """Real codec round-trip over the test set (reference
+        llicti_agent.py:122-164)."""
+        codec = Codec(self.config.model, self.state.params)
+        results = []
+        for idx, img in enumerate(self.test_loader.iter_uint8()):
+            t0 = time.time()
+            streams = codec.compress(img)
+            enc_t = time.time() - t0
+            t0 = time.time()
+            out = codec.decompress(streams)
+            dec_t = time.time() - t0
+            nbytes = Codec.num_bytes(streams)
+            bpsp = nbytes * 8 / img.size
+            ok = np.array_equal(out[0], img)
+            numel = img.size
+            from .loss import compression_rate_list
+            self.test_logger(compression_rate_list(numel, streams))
+            msg = (f"{idx:3d} {img.shape[0]:3d}x{img.shape[1]:3d} "
+                   f"bpsp= {bpsp:.3f} Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
+            if ok:
+                msg += "(Check: Decoded img matches original)"
+            else:
+                err = np.abs(out[0].astype(int) - img.astype(int)).max()
+                msg += (f"(Error: Decoded img does NOT match original! "
+                        f"max abs err {err})")
+            self.logger.info(msg)
+            results.append(dict(bpsp=bpsp, enc_t=enc_t, dec_t=dec_t, ok=ok))
+        self.test_logger.display(typ="te")
+        return results
+
+    # --- introspection -----------------------------------------------------
+    def model_size_estimation(self, print_params: bool = False) -> float:
+        total = 0
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        for path, p in flat:
+            if print_params:
+                self.logger.info("%s %s", jax.tree_util.keystr(path), p.shape)
+            total += int(np.prod(p.shape)) * p.dtype.itemsize
+        mb = total / 1024 ** 2
+        self.logger.info(
+            "------------------TOT----------------------------------------")
+        self.logger.info(
+            " model param+buffer=total size: %.3f+0.000=%.3fMB", mb, mb)
+        self.logger.info(
+            "------------------END----------------------------------------")
+        return mb
+
+    def flops_estimation(self, h: int = 512, w: int = 512) -> Optional[float]:
+        """MACs estimate via XLA cost analysis at 3 x h x w (reference uses
+        ptflops at 3x512x512, llicti_agent.py:194-200)."""
+        x = jnp.zeros((1, h, w, 3))
+        lowered = jax.jit(
+            lambda p, xx: self.model.apply(p, xx)).lower(self.state.params, x)
+        cost = lowered.compile().cost_analysis()
+        flops = (cost or {}).get("flops")
+        if flops is not None:
+            self.logger.info("Computational complexity: %.2f GMac",
+                             flops / 2 / 1e9)
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree.leaves(self.state.params))
+        self.logger.info("Number of parameters: %.2f k", n / 1e3)
+        return flops

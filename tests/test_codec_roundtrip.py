@@ -1,0 +1,125 @@
+"""End-to-end codec bit-exactness tests (the reference's oracle:
+decode(encode(x)) == x, agents/llicti_agent.py:151-162).
+
+Works with untrained (random-init) params: losslessness must hold for any
+model weights.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llicti_tpu.codec import Codec, bucket_range
+from llicti_tpu.config import ModelConfig
+from llicti_tpu.models.llicti import LLICTIModel
+
+
+def small_cfg(**kw):
+    base = dict(
+        chs=(8, 8), evens=(4, 4), odds=(3, 3), dwtlevels=(0, 1),
+        useprevlevNN=(False, True),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_codec(cfg, seed=0):
+    model = LLICTIModel(cfg=cfg)
+    lev = max(cfg.dwtlevels) + 1
+    x = jnp.zeros((1, 2 ** lev * 4, 2 ** lev * 4, 3))
+    params = model.init(jax.random.PRNGKey(seed), x)
+    return Codec(cfg, params)
+
+
+def natural_image(h, w, seed=0):
+    """Smooth gradients + texture + noise: natural-ish statistics."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (
+        127 + 80 * np.sin(yy / 17.0) * np.cos(xx / 23.0)
+        + 40 * np.sin((xx + yy) / 41.0)
+    )
+    img = np.stack([base, base * 0.8 + 20, base * 0.6 + 50], axis=-1)
+    img += rng.normal(0, 6, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_bucket_range():
+    assert bucket_range(-5, 10) == (-32, 31)
+    assert bucket_range(0, 0) == (0, 31)
+    assert bucket_range(-255, 255) == (-256, 255)
+    assert bucket_range(-32, 31) == (-32, 31)
+
+
+def test_roundtrip_even_size():
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(32, 32)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_roundtrip_random_noise():
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
+
+
+@pytest.mark.parametrize("h,w", [(17, 19), (33, 32), (30, 31), (21, 24)])
+def test_roundtrip_odd_sizes(h, w):
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(h, w, seed=h * 100 + w)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert out.shape == (1, h, w, 3)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_roundtrip_extreme_values():
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = 255
+    img[:, :4, 0] = 255
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_serialize_roundtrip():
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(16, 24, seed=5)
+    streams = codec.compress(img)
+    blob = Codec.serialize(streams)
+    back = Codec.deserialize(blob)
+    assert back == streams
+    out = codec.decompress(back)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_bpp_reasonable():
+    # even untrained, raw-band + coded bits must stay below 3x8 bpsp * 1.5
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(32, 32, seed=9)
+    streams = codec.compress(img)
+    bits = Codec.num_bytes(streams) * 8
+    bpsp = bits / img.size
+    assert bpsp < 12.0, bpsp
+
+
+def test_three_scale_roundtrip():
+    cfg = small_cfg(chs=(8, 8, 8), evens=(4, 4, 4), odds=(3, 3, 3),
+                    dwtlevels=(0, 1, 2), useprevlevNN=(False, True, True))
+    codec = make_codec(cfg)
+    img = natural_image(40, 56, seed=11)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
