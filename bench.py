@@ -11,6 +11,7 @@ Extra metrics (encode speed, bpsp, losslessness) go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -46,6 +47,9 @@ def main() -> None:
     out = codec.decompress(streams)
     ok = bool(np.array_equal(out[0], img))
 
+    profile_dir = os.environ.get("LLICTI_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     n_rep = 3
     t0 = time.time()
     for _ in range(n_rep):
@@ -55,6 +59,8 @@ def main() -> None:
     for _ in range(n_rep):
         out = codec.decompress(streams)
     dec_t = (time.time() - t0) / n_rep
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     mp = H * W / 1e6
     bpsp = Codec.num_bytes(streams) * 8 / img.size

@@ -1,44 +1,44 @@
 """Lossless codec: compress/decompress orchestration.
 
 TPU-native re-design of the reference's codec path
-(graphs/models/LLICTI_nets.py:125-179, 344-509):
+(graphs/models/LLICTI_nets.py:125-179, 344-509), with two entropy-coding
+backends:
 
-* All NN parameter maps and int16 CDF tables are produced by jitted
-  functions that are **shared between the encoder and the decoder** at
-  identical call granularity.  XLA:TPU is deterministic per compiled
-  program, so encode and decode see bit-identical CDFs — the precondition
-  for lossless round-trips (SURVEY.md §7 "hard parts").
-* Integer<->float conversions are exact in f32 (|v| <= 511), and both
-  sides use the same ``(int - shift) / 255`` expression.
-* Encode-path host transfer is 2 uint16 per pixel: the TPU gathers
-  cdf[s] and cdf[s+1] from the on-device table, instead of shipping the
-  full ~0.5-1 KB/pixel table as the reference does.  All 9 streams of a
-  scale (and all scales) are then range-coded in parallel on a host
-  thread pool.
-* Decode transfers the full per-pixel CDF table for each (scale, band,
-  color) step (the auto-regressive write-back makes this unavoidable
-  without approximation), then decodes on the host.
+* ``backend="device"`` (default): on-device interleaved rANS
+  (coder/rans_device.py).  CDF tables never leave HBM; the only
+  host<->device traffic is the entropy-sized bitstream plus the tiny
+  raw header band.  One chained stream per image (the 45 slices share
+  lane states), so overhead is a single N*4-byte state flush.
+* ``backend="host"``: C++ arithmetic coder with torchac's uint16-CDF
+  contract (coder/__init__.py) — the reference-parity path.  Encode
+  gathers (cdf[s], cdf[s+1]) on device (2 uint16/pixel transferred);
+  decode ships full CDF tables and fans streams across a thread pool.
 
-Dynamic Co/Cg ranges are bucketed (multiples of 32) so jit caches stay
-small; the per-symbol cost of the extra near-zero-probability bins is
-< 0.002 bits.
+Bit-exactness invariant (SURVEY.md §7 "hard parts"): the encoder and the
+decoder call the *same jitted programs* for NN parameter maps and CDF
+tables, at identical granularity — XLA is deterministic per compiled
+program, so both sides see identical CDFs.  Everything else that both
+sides compute (int<->float conversions, padding, interleaves) is either
+integer/copy ops or a single IEEE multiply, which fusion cannot change.
 
-Bitstream layout (ours; structurally mirrors the reference's list of
-lists, LLICTI_nets.py:344-354):
+Bitstream layout (ours):
   streams[0] = [header, minmax_int16, pad_int16, raw_x00_rgb, b''*5]
-  streams[1..S] = 9 streams for scales coarse -> fine, index b*3+clr.
+  device backend: streams[1] = [rans blob]
+  host backend:   streams[1..S] = 9 range-coded streams per scale
+                  (coarse->fine, index b*3+clr, like the reference).
 """
 from __future__ import annotations
 
 import concurrent.futures as futures
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import coder
+from .coder import rans_device as rd
 from .config import ModelConfig
 from .models.llicti import LLICTIModel
 from .ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
@@ -56,129 +56,203 @@ INV255 = np.float32(1.0 / 255.0)
 
 
 def bucket_range(min_val: int, max_val: int) -> Tuple[int, int]:
-    """Round a symbol range outward to RANGE_BUCKET multiples (jit-cache
-    friendliness; the extra bins cost <0.002 bits/sym)."""
+    """Round a symbol range outward to RANGE_BUCKET multiples (keeps the
+    jit cache small; the near-zero-probability extra bins cost <0.002
+    bits/sym)."""
     lo = (min_val // RANGE_BUCKET) * RANGE_BUCKET
     hi = -((-(max_val + 1)) // RANGE_BUCKET) * RANGE_BUCKET - 1
     return int(lo), int(hi)
 
 
+def pad_flags_for_shape(h: int, w: int, levels: Sequence[int]):
+    """Pad flags are purely shape-derived; compute without touching data."""
+    flags = []
+    pad_int = 0
+    for lev in range(0, max(levels) + 1):
+        if lev not in levels:
+            continue
+        st = 2 ** (lev + 1)
+        of = st // 2
+        h00 = -(-h // st)
+        w00 = -(-w // st)
+        h11 = (h - of + st - 1) // st
+        w11 = (w - of + st - 1) // st
+        padH, padW = h00 > h11, w00 > w11
+        flags.append((padH, padW))
+        pad_int = 4 * pad_int + 2 * int(padH) + int(padW)
+    return flags, pad_int
+
+
 class Codec:
     """Encoder/decoder around a trained LLICTIModel.
 
-    Only the reference's live codec configuration is supported
-    (clrchs=3, clr_joint_mode=2, normal GMM — the reference's
-    compress/decompress support exactly this subset too,
-    LLICTI_nets.py:937-939).
+    Supports the reference's live codec configuration (clrchs=3,
+    clr_joint_mode=2, normal GMM — the reference codec supports exactly
+    this subset, LLICTI_nets.py:937-939).
     """
 
-    def __init__(self, cfg: ModelConfig, params, num_threads: int = 8):
+    def __init__(self, cfg: ModelConfig, params, backend: str = "device",
+                 num_lanes: int = 512, num_threads: int = 8):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode == 2, (
             "codec path requires clrchs=3, clr_joint_mode=2 (as reference)")
         assert cfg.distribution == "normal" and cfg.num_mixtures > 1
         assert cfg.ycocg, "codec path requires ycocg=True"
+        assert backend in ("device", "host")
         self.cfg = cfg
         self.params = params
+        self.backend = backend
+        self.N = num_lanes
         self.model = LLICTIModel(cfg=cfg)
         self.pool = futures.ThreadPoolExecutor(max_workers=num_threads)
+        self.last_slice_bits: Optional[List[List[int]]] = None
 
         M = cfg.num_mixtures
 
-        # ---- shared jitted functions (encoder & decoder both call these,
-        # ---- at identical granularity) ------------------------------------
+        # ---- shared jitted programs (both directions call these with the
+        # ---- same shapes; the jit cache makes them the same executables).
+        # ---- Conditioning slices happen *inside* the programs: every eager
+        # ---- op is a host round-trip on the TPU tunnel.
         @partial(jax.jit, static_argnums=(2, 3))
-        def band_params_fn(params_, y_cond, scl, b):
-            return self.model.apply(params_, y_cond, scl, b,
-                                    method=LLICTIModel.band_params)
+        def band_params_fn(params_, y_lev, scl, b):
+            return self.model.apply(params_, y_lev[..., 0:3 * (b + 1)],
+                                    scl, b, method=LLICTIModel.band_params)
 
-        @partial(jax.jit, static_argnums=(4, 5, 6))
-        def cdf_u16_fn(pmap, y0, y1, shift255, clr, minv, maxv):
-            """uint16 CDF table [1,h,w,P] for one color of one band.
-
-            pmap: [1,h,w,12M] parameter map; y0/y1: earlier colors of the
-            band being coded ([1,h,w,1], zeros when unused); shift255 is
-            unused here (kept for signature stability).
-            Mirrors reference LLICTI_nets.py:380-405 / 465-493.
-            """
-            stdevs = pmap[..., (0 * 3 + clr) * M:(0 * 3 + clr + 1) * M]
-            means = pmap[..., (1 * 3 + clr) * M:(1 * 3 + clr + 1) * M]
-            weights = pmap[..., (2 * 3 + clr) * M:(2 * 3 + clr + 1) * M]
+        def _cdf_float(pmap, y_lev, b, clr, minv, maxv):
+            y0 = y_lev[..., 3 * (b + 1):3 * (b + 1) + 1]
+            y1 = y_lev[..., 3 * (b + 1) + 1:3 * (b + 1) + 2]
+            stdevs = pmap[..., clr * M:(clr + 1) * M]
+            means = pmap[..., (3 + clr) * M:(3 + clr + 1) * M]
+            weights = pmap[..., (6 + clr) * M:(6 + clr + 1) * M]
             if clr == 1:
-                aw = pmap[..., 9 * M:10 * M]
-                means = means + aw * y0
+                means = means + pmap[..., 9 * M:10 * M] * y0
             elif clr == 2:
-                bw = pmap[..., 10 * M:11 * M]
-                dw = pmap[..., 11 * M:12 * M]
-                means = means + bw * y0 + dw * y1
+                means = means + (pmap[..., 10 * M:11 * M] * y0
+                                 + pmap[..., 11 * M:12 * M] * y1)
             pts = cdf_sampling_points(minv, maxv)
-            cdf = gmm_cdf_table(pts, stdevs, means, weights)
-            return cdf_float_to_uint16(cdf)
+            return gmm_cdf_table(pts, stdevs, means, weights)
 
-        @jax.jit
-        def gather_lohi_fn(cdfu, sym):
-            """Per-pixel (cdf[s], cdf[s+1]) gather — encode-path transfer."""
-            s = sym[..., None]
-            lo = jnp.take_along_axis(cdfu, s, axis=-1)[..., 0]
-            hi = jnp.take_along_axis(cdfu, s + 1, axis=-1)[..., 0]
-            return lo, hi
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def cdf_u16_fn(pmap, y_lev, b, clr, minv, maxv):
+            """[1,h,w,P] uint16 table (host-backend contract)."""
+            return cdf_float_to_uint16(
+                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
-        @jax.jit
-        def symbols_fn(y, minv):
-            """Float band values -> coder symbols (v_int - minv)."""
-            return (jnp.round(y * 255.0).astype(jnp.int32) - minv).astype(jnp.int32)
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def cdf_cum_fn(pmap, y_lev, b, clr, minv, maxv):
+            """[1,h,w,P] int32 cum table (device-backend contract)."""
+            return rd.cdf_float_to_cum_int32(
+                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
-        @jax.jit
-        def int_to_unit_fn(v, minv):
-            """Symbols -> floats (v + minv) * (1/255), the same single IEEE
-            multiply the encoder preprocessing uses (a division could be
-            rewritten differently by XLA across the two programs)."""
-            return (v + minv).astype(jnp.float32) * INV255
-
+        # ---- front end (encode): one program per image shape -------------
         @partial(jax.jit, static_argnums=(1,))
-        def preprocess_fn(rgb_int, last_stride):
-            """RGB uint8 -> (x_float YCoCg zero-mean, min/max CoCg, raw x00)."""
+        def front_fn(rgb_int, levels):
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
-            min_co = jnp.min(ycocg[..., 1])
-            max_co = jnp.max(ycocg[..., 1])
-            min_cg = jnp.min(ycocg[..., 2])
-            max_cg = jnp.max(ycocg[..., 2])
+            mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
+                  jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
             shift = jnp.array([127, 0, 0], jnp.int32)
             x = (ycocg - shift).astype(jnp.float32) * INV255
-            x00_raw = rgb_int[:, ::last_stride, ::last_stride, :].astype(jnp.uint8)
-            return x, (min_co, max_co, min_cg, max_cg), x00_raw
+            last_stride = 2 ** (max(levels) + 1)
+            x00_raw = rgb_int[:, ::last_stride, ::last_stride, :].astype(
+                jnp.uint8)
+            y_list, _, _ = lazy_dwt(x, levels, pad=True)
+            return tuple(y_list), mm, x00_raw
+
+        # ---- per-slice programs ------------------------------------------
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def startfreq_fn(cum, y_lev, b, clr, ch, cw, minv):
+            """Per-symbol (start, freq) int32, flattened over the coded
+            (cropped) region, row-major."""
+            y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
+            sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)
+            s = sym[..., None]
+            c = cum[:, :ch, :cw]
+            lo = jnp.take_along_axis(c, s, axis=-1)[..., 0]
+            hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
+            return lo.reshape(-1), (hi - lo).reshape(-1)
+
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def gather_lohi_fn(cdfu, y_lev, b, clr, ch, cw, minv):
+            """Host-backend encode transfer: 2 uint16 per pixel."""
+            y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
+            sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)
+            s = sym[..., None]
+            c = cdfu[:, :ch, :cw]
+            lo = jnp.take_along_axis(c, s, axis=-1)[..., 0]
+            hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
+            return lo, hi
+
+        # ---- decode-side programs ----------------------------------------
+        @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+        def decode_step_fn(cum, words, states, offset, y_lev,
+                           b, clr, padH, padW, ch, cw, num_lanes, minv):
+            """rANS-decode one slice and write it back into y_lev."""
+            n = ch * cw
+            cum2 = cum[:, :ch, :cw].reshape(n, -1)
+            syms, states, offset = rd.rans_decode_body(
+                cum2, words, states, offset, num_lanes, n)
+            vals = (syms.reshape(1, ch, cw) + minv).astype(jnp.float32) * INV255
+            vals = pad_decoded_band(vals[..., None], b, padH, padW)
+            y_lev = y_lev.at[..., 3 * (b + 1) + clr].set(vals[..., 0])
+            return y_lev, states, offset
+
+        @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+        def writeback_fn(y_lev, b, clr, padH, padW, ch, cw, syms, minv):
+            """Decoded symbols -> float channel of y_lev (host backend)."""
+            vals = (syms.reshape(1, ch, cw) + minv).astype(jnp.float32) * INV255
+            vals = pad_decoded_band(vals[..., None], b, padH, padW)
+            y_lev = y_lev.at[..., 3 * (b + 1) + clr].set(vals[..., 0])
+            return y_lev
+
+        @partial(jax.jit, static_argnums=(1, 2))
+        def next_scale_fn(y_lev, crop_h, crop_w):
+            """Interleave a finished scale into the next finer x00."""
+            x00 = interleave_scale(y_lev, 3, crop_h, crop_w)
+            h, w = x00.shape[1], x00.shape[2]
+            out = jnp.zeros((1, h, w, 12), jnp.float32)
+            return out.at[..., 0:3].set(x00)
+
+        @jax.jit
+        def init_scale_fn(x00_int):
+            """Raw header band (int YCoCg) -> coarsest y_lev."""
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            x00 = (x00_int - shift).astype(jnp.float32) * INV255
+            h, w = x00.shape[1], x00.shape[2]
+            out = jnp.zeros((1, h, w, 12), jnp.float32)
+            return out.at[..., 0:3].set(x00)
 
         @jax.jit
         def postprocess_fn(y_3ch):
-            """Decoded YCoCg floats -> RGB uint8 (exact int inverse)."""
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + jnp.array(
                 [127, 0, 0], jnp.int32)
-            rgb = ycocg_r_int_to_rgb_int(ycocg)
-            return rgb.astype(jnp.uint8)
-
-        @partial(jax.jit, static_argnums=(2,))
-        def set_channel_fn(y_lev, vals, ch):
-            return y_lev.at[..., ch].set(vals[..., 0] if vals.ndim == 4 else vals)
+            return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
+        self._cdf_cum = cdf_cum_fn
+        self._front = front_fn
+        self._startfreq = startfreq_fn
         self._gather_lohi = gather_lohi_fn
-        self._symbols = symbols_fn
-        self._int_to_unit = int_to_unit_fn
-        self._preprocess = preprocess_fn
+        self._decode_step = decode_step_fn
+        self._writeback = writeback_fn
+        self._next_scale = next_scale_fn
+        self._init_scale = init_scale_fn
         self._postprocess = postprocess_fn
-        self._set_channel = set_channel_fn
 
     # ------------------------------------------------------------------
     def _clr_range(self, clr: int, minmax: Sequence[int]) -> Tuple[int, int]:
-        """(minVal, maxVal) for a color channel, bucketed for Co/Cg.
-
-        Y uses the fixed [-127, 128] grid (reference LLICTI_nets.py:394-395).
-        """
+        """Symbol range per color; Y fixed [-127, 128] (reference
+        LLICTI_nets.py:394-395), Co/Cg bucketed dynamic."""
         if clr == 0:
             return -127, 128
-        min_v = int(minmax[clr])
-        max_v = int(minmax[3 + clr])
-        return bucket_range(min_v, max_v)
+        return bucket_range(int(minmax[clr]), int(minmax[3 + clr]))
+
+    def _header_group(self, S, last_h, last_w, minmax, pad_int, raw
+                      ) -> List[bytes]:
+        header = (np.array([S], np.uint8).tobytes()
+                  + np.array([last_h, last_w], np.uint16).tobytes())
+        return [header, np.array(minmax, np.int16).tobytes(),
+                np.array([pad_int], np.int16).tobytes(), raw,
+                b"", b"", b"", b"", b""]
 
     # ------------------------------------------------------------------
     def compress(self, rgb: np.ndarray) -> List[List[bytes]]:
@@ -186,59 +260,160 @@ class Codec:
         cfg = self.cfg
         if rgb.ndim == 3:
             rgb = rgb[None]
-        assert rgb.ndim == 4 and rgb.shape[0] == 1 and rgb.shape[-1] == 3
-        rgb_dev = jnp.asarray(rgb.astype(np.int32))
-        last_stride = 2 ** (max(cfg.dwtlevels) + 1)
-        x, mm, x00_raw = self._preprocess(rgb_dev, last_stride)
+        assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
+        H, W = rgb.shape[1], rgb.shape[2]
+        pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
+        S = cfg.num_scales
+
+        y_list, mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.int32)),
+                                          cfg.dwtlevels)
         min_co, max_co, min_cg, max_cg = (int(v) for v in jax.device_get(mm))
         minmax = [0, min_co, min_cg, 255, max_co, max_cg]
-
-        y_list, pad_flags, pad_int = lazy_dwt(x, cfg.dwtlevels, pad=True)
-        S = cfg.num_scales
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
-
-        header = (np.array([S], np.uint8).tobytes()
-                  + np.array([last_h, last_w], np.uint16).tobytes())
-        header_minmax = np.array(minmax, np.int16).tobytes()
-        header_pad = np.array([pad_int], np.int16).tobytes()
         raw = np.asarray(jax.device_get(x00_raw)).tobytes()
         streams: List[List[bytes]] = [
-            [header, header_minmax, header_pad, raw, b"", b"", b"", b"", b""]
-        ]
+            self._header_group(S, last_h, last_w, minmax, pad_int, raw)]
 
-        # per-(scale,band,color) encode jobs run on the host thread pool
-        jobs = {}
-        scale_payloads = []
+        if self.backend == "device":
+            return self._compress_device(streams, y_list, minmax, pad_flags)
+        return self._compress_host(streams, y_list, minmax, pad_flags)
+
+    # ---- device backend ------------------------------------------------
+    def _slices(self, y_lev, scl, pad_flags, minmax):
+        """Yield (b, clr, minv, maxv, ch, cw, pmap) in decode order for one
+        scale.  pmap is computed once per band (shared program)."""
+        padH, padW = pad_flags[scl]
+        h, w = y_lev.shape[1], y_lev.shape[2]
+        for b in range(3):
+            pmap = self._band_params(self.params, y_lev, scl, b)
+            ch, cw = band_coded_shape(h, w, b, padH, padW)
+            for clr in range(3):
+                minv, maxv = self._clr_range(clr, minmax)
+                yield (b, clr, minv, maxv, ch, cw, pmap)
+
+    def _compress_device(self, streams, y_list, minmax, pad_flags):
+        cfg = self.cfg
+        S = cfg.num_scales
+        # gather per-slice (start, freq) in decode order
+        slice_sf = []  # (starts, freqs) device arrays
+        slice_meta = []  # (scl, b, clr)
         for scl in range(S - 1, -1, -1):
             y_lev = y_list[scl]
+            for (b, clr, minv, maxv, ch, cw, pmap
+                 ) in self._slices(y_lev, scl, pad_flags, minmax):
+                cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
+                st, fr = self._startfreq(cum, y_lev, b, clr, ch, cw,
+                                         jnp.int32(minv))
+                slice_sf.append((st, fr))
+                slice_meta.append((scl, b, clr))
+        # chained rANS encode in reverse decode order
+        states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
+        chunks = []
+        for st, fr in reversed(slice_sf):
+            buf, count, states = rd.rans_encode_slice(st, fr, states, self.N)
+            chunks.append((buf, count))
+        # one batched transfer for all word buffers + counts + states
+        bufs_np, counts_np, states_np = jax.device_get(
+            ([b for b, _ in chunks], [c for _, c in chunks], states))
+        counts = [int(c) for c in counts_np]
+        chunks_np = [np.asarray(b)[:c] for b, c in zip(bufs_np, counts)]
+        blob = rd.pack_stream(chunks_np, np.asarray(states_np))
+        streams.append([blob])
+        # per-slice word counts (decode order) for rate breakdown logging
+        counts_decode_order = list(reversed(counts))
+        bits: Dict[Tuple[int, int, int], int] = {}
+        for (scl, b, clr), c in zip(slice_meta, counts_decode_order):
+            bits[(scl, b, clr)] = c * 16
+        self.last_slice_bits = [
+            [bits[(scl, b, clr)] for b in range(3) for clr in range(3)]
+            for scl in range(S - 1, -1, -1)
+        ]
+        return streams
+
+    def _decompress_device(self, streams, S, minmax, pad_flags, x00_int):
+        cfg = self.cfg
+        blob = streams[1][0]
+        states_np, words_np = rd.unpack_stream(blob, self.N)
+        states = jnp.asarray(states_np, jnp.uint32)
+        # pad the stream to a power-of-two bucket: its length is part of the
+        # jit cache key, and stream sizes differ per image
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(1, words_np.size)))))
+        words = jnp.asarray(np.pad(words_np, (0, cap - words_np.size)))
+        offset = jnp.int32(0)
+        y_lev = self._init_scale(jnp.asarray(x00_int))
+        for scl in range(S - 1, -1, -1):
+            if scl != S - 1:
+                y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
+                                         int(pad_flags[scl + 1][1]))
             padH, padW = pad_flags[scl]
             h, w = y_lev.shape[1], y_lev.shape[2]
-            payload = []
             for b in range(3):
-                pmap = self._band_params(self.params, y_lev[..., 0:3 * (b + 1)],
-                                         scl, b)
-                y_band = y_lev[..., 3 * (b + 1):3 * (b + 2)]
-                ch_, cw_ = band_coded_shape(h, w, b, padH, padW)
+                pmap = self._band_params(self.params, y_lev, scl, b)
+                ch, cw = band_coded_shape(h, w, b, padH, padW)
                 for clr in range(3):
                     minv, maxv = self._clr_range(clr, minmax)
-                    y0 = y_band[..., 0:1]
-                    y1 = y_band[..., 1:2]
-                    cdfu = self._cdf_u16(pmap, y0, y1, 0, clr, minv, maxv)
-                    sym = self._symbols(y_band[..., clr], minv)
-                    lo, hi = self._gather_lohi(cdfu, sym)
-                    payload.append((lo[:, :ch_, :cw_], hi[:, :ch_, :cw_]))
-            scale_payloads.append((scl, payload))
+                    cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
+                    y_lev, states, offset = self._decode_step(
+                        cum, words, states, offset, y_lev,
+                        b, clr, padH, padW, ch, cw, self.N,
+                        jnp.int32(minv))
+        y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
+                                 int(pad_flags[0][1]))
+        return np.asarray(jax.device_get(self._postprocess(y_3ch)))
 
-        # transfer lo/hi pairs and fan out range coding across threads
-        for scl, payload in scale_payloads:
+    # ---- host backend --------------------------------------------------
+    def _compress_host(self, streams, y_list, minmax, pad_flags):
+        cfg = self.cfg
+        S = cfg.num_scales
+        jobs = {}
+        order = []
+        for scl in range(S - 1, -1, -1):
+            y_lev = y_list[scl]
+            payload = []
+            for (b, clr, minv, maxv, ch, cw, pmap
+                 ) in self._slices(y_lev, scl, pad_flags, minmax):
+                cdfu = self._cdf_u16(pmap, y_lev, b, clr, minv, maxv)
+                lo, hi = self._gather_lohi(cdfu, y_lev, b, clr, ch, cw,
+                                           jnp.int32(minv))
+                payload.append((lo, hi))
             lohis = jax.device_get(payload)
             for idx, (lo, hi) in enumerate(lohis):
                 jobs[(scl, idx)] = self.pool.submit(
                     coder.encode_lohi, np.asarray(lo), np.asarray(hi))
-
-        for scl, _ in scale_payloads:
+            order.append(scl)
+        for scl in order:
             streams.append([jobs[(scl, i)].result() for i in range(9)])
+        self.last_slice_bits = [
+            [len(s) * 8 for s in group] for group in streams[1:]
+        ]
         return streams
+
+    def _decompress_host(self, streams, S, minmax, pad_flags, x00_int):
+        y_lev = self._init_scale(jnp.asarray(x00_int))
+        for scl in range(S - 1, -1, -1):
+            if scl != S - 1:
+                y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
+                                         int(pad_flags[scl + 1][1]))
+            padH, padW = pad_flags[scl]
+            h, w = y_lev.shape[1], y_lev.shape[2]
+            sc_streams = streams[1 + (S - 1 - scl)]
+            for b in range(3):
+                pmap = self._band_params(self.params, y_lev, scl, b)
+                ch, cw = band_coded_shape(h, w, b, padH, padW)
+                for clr in range(3):
+                    minv, maxv = self._clr_range(clr, minmax)
+                    cdfu = self._cdf_u16(pmap, y_lev, b, clr, minv, maxv)
+                    cdf_host = np.asarray(
+                        jax.device_get(cdfu[:, :ch, :cw]))
+                    syms = coder.decode_cdf(
+                        cdf_host.reshape(-1, cdf_host.shape[-1]),
+                        sc_streams[b * 3 + clr])
+                    syms = jnp.asarray(syms.astype(np.int32))
+                    y_lev = self._writeback(y_lev, b, clr, padH, padW,
+                                            ch, cw, syms, jnp.int32(minv))
+        y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
+                                 int(pad_flags[0][1]))
+        return np.asarray(jax.device_get(self._postprocess(y_3ch)))
 
     # ------------------------------------------------------------------
     def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
@@ -251,61 +426,15 @@ class Codec:
         minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
         pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
         pad_flags = unpack_pad_flags(pad_int, S)
-        raw = np.frombuffer(streams[0][3], np.uint8).reshape(1, last_h, last_w, 3)
-
-        ycocg0 = rgb_int_to_ycocg_r_int(jnp.asarray(raw.astype(np.int32)))
-        x00 = self._int_to_unit(
-            ycocg0 - jnp.array([127, 0, 0], jnp.int32), jnp.int32(0))
-
-        y_lev = jnp.zeros((1, last_h, last_w, 12), jnp.float32)
-        for ch in range(3):
-            y_lev = self._set_channel(y_lev, x00[..., ch], ch)
-
-        for scl in range(S - 1, -1, -1):
-            if scl != S - 1:
-                # interleave previous (coarser) scale into this scale's x00
-                crop_h = int(pad_flags[scl + 1][0])
-                crop_w = int(pad_flags[scl + 1][1])
-                x00 = interleave_scale(y_lev, 3, crop_h, crop_w)
-                h, w = x00.shape[1], x00.shape[2]
-                y_lev = jnp.zeros((1, h, w, 12), jnp.float32)
-                for ch in range(3):
-                    y_lev = self._set_channel(y_lev, x00[..., ch], ch)
-            padH, padW = pad_flags[scl]
-            h, w = y_lev.shape[1], y_lev.shape[2]
-            sc_streams = streams[1 + (S - 1 - scl)]
-            for b in range(3):
-                pmap = self._band_params(self.params, y_lev[..., 0:3 * (b + 1)],
-                                         scl, b)
-                ch_, cw_ = band_coded_shape(h, w, b, padH, padW)
-                decoded_cols = []
-                for clr in range(3):
-                    minv, maxv = self._clr_range(clr, minmax)
-                    if clr == 0:
-                        y0 = jnp.zeros((1, h, w, 1), jnp.float32)
-                        y1 = y0
-                    elif clr == 1:
-                        y0 = decoded_cols[0][..., None]
-                        y1 = jnp.zeros((1, h, w, 1), jnp.float32)
-                    else:
-                        y0 = decoded_cols[0][..., None]
-                        y1 = decoded_cols[1][..., None]
-                    cdfu = self._cdf_u16(pmap, y0, y1, 0, clr, minv, maxv)
-                    cdf_host = np.asarray(
-                        jax.device_get(cdfu[:, :ch_, :cw_]))
-                    syms = coder.decode_cdf(
-                        cdf_host.reshape(-1, cdf_host.shape[-1]),
-                        sc_streams[b * 3 + clr])
-                    syms = syms.reshape(1, ch_, cw_).astype(np.int32)
-                    vals = self._int_to_unit(jnp.asarray(syms), jnp.int32(minv))
-                    vals = pad_decoded_band(vals[..., None], b, padH, padW)[..., 0]
-                    decoded_cols.append(vals)
-                    y_lev = self._set_channel(y_lev, vals, 3 * (b + 1) + clr)
-        # final interleave to full resolution
-        crop_h = int(pad_flags[0][0])
-        crop_w = int(pad_flags[0][1])
-        y_3ch = interleave_scale(y_lev, 3, crop_h, crop_w)
-        return np.asarray(jax.device_get(self._postprocess(y_3ch)))
+        raw = np.frombuffer(streams[0][3], np.uint8).reshape(
+            1, last_h, last_w, 3)
+        x00_int = np.asarray(
+            jax.device_get(rgb_int_to_ycocg_r_int(
+                jnp.asarray(raw.astype(np.int32)))))
+        if len(streams) == 2 and len(streams[1]) == 1:
+            return self._decompress_device(streams, S, minmax, pad_flags,
+                                           x00_int)
+        return self._decompress_host(streams, S, minmax, pad_flags, x00_int)
 
     # ------------------------------------------------------------------
     @staticmethod

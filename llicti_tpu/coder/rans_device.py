@@ -1,0 +1,271 @@
+"""On-device interleaved rANS entropy coder (pure int32/uint32 JAX).
+
+Why this exists: the reference (and our host backend) ships per-pixel CDF
+tables to the CPU coder — ~0.5-1 KB/pixel of PCIe traffic on decode
+(reference LLICTI_nets.py:485-493).  On TPU we instead keep the CDF
+tables in HBM and run the range coder *on the device* as vectorized
+integer ops: N independent rANS lanes decode one symbol each per scan
+step, so only the actual bitstream (~entropy-sized) ever crosses the
+host link.  Integer arithmetic also makes encoder/decoder bit-exactness
+trivial (no float determinism constraints on the coder itself).
+
+Coder spec (classic interleaved rANS, 16-bit probabilities):
+  * state x: uint32 in [2^16, 2^32); renormalization emits/consumes
+    uint16 words.
+  * encode(start, freq):  if x >= freq << 16: emit x & 0xFFFF; x >>= 16
+                          x = (x // freq) << 16 | (x % freq + start)
+  * decode: slot = x & 0xFFFF; s = cdf bin of slot;
+            x = freq * (x >> 16) + slot - start;
+            if x < 2^16: x = x << 16 | next_word
+  * N lanes round-robin one shared word stream: decoder reads forward
+    (step-major, lane 0..N-1); encoder runs in exact reverse order.
+  * symbol i of a slice maps to (step, lane) = (i // N, i % N); the tail
+    is padded with masked no-ops (zero rate).
+  * multiple slices chain through the same lane states / stream, so the
+    per-image overhead is one N*4-byte state flush (plus nothing per
+    slice) — decode order must equal encode's slice order reversed.
+
+CDF tables are int32 cumulative arrays of Lp entries per pixel with
+cum[0] == 0 and cum[Lp-1] == 2^16 exactly (see
+``cdf_float_to_cum_int32``); every bin has freq >= 1.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 16
+RANS_L = 1 << 16  # lower bound of the state interval
+
+
+def cdf_float_to_cum_int32(cdf: jnp.ndarray) -> jnp.ndarray:
+    """Quantize float CDFs in [0,1] to int32 cum tables for the device coder.
+
+    Same fixed-point contract as the host/torchac uint16 path
+    (round(cdf*(2^16-(Lp-1))) + arange, reference LLICTI_nets.py:955-983)
+    but kept in int32 with the final entry saturated to exactly 2^16 —
+    no wrap-around games needed on device.
+    """
+    P = cdf.shape[-1]
+    new_max = 2 ** 16 - (P - 1)
+    q = jnp.round(jnp.clip(cdf, 0.0, 1.0) * new_max).astype(jnp.int32)
+    q = jax.lax.cummax(q, axis=q.ndim - 1)
+    q = q + jnp.arange(P, dtype=jnp.int32)
+    return q.at[..., -1].set(1 << 16)
+
+
+# ---------------------------------------------------------------------------
+# numpy reference implementation (golden model for the jitted version)
+# ---------------------------------------------------------------------------
+
+
+class RansRefEncoder:
+    """Scalar numpy reference: N-lane interleaved rANS encoder.
+
+    Call encode_slice for each slice in *reverse* decode order; finish()
+    returns (words, final_states).  Words are uint16, to be read forward
+    by the decoder.
+    """
+
+    def __init__(self, num_lanes: int):
+        self.N = num_lanes
+        self.states = np.full(num_lanes, RANS_L, np.uint64)
+        self.words: List[int] = []  # built reversed; finish() flips
+
+    def encode_slice(self, starts: np.ndarray, freqs: np.ndarray) -> None:
+        n = len(starts)
+        N = self.N
+        T = -(-n // N)
+        for t in range(T - 1, -1, -1):
+            for l in range(N - 1, -1, -1):
+                i = t * N + l
+                if i >= n:
+                    continue
+                start, freq = int(starts[i]), int(freqs[i])
+                x = int(self.states[l])
+                if x >= (freq << 16):
+                    self.words.append(x & 0xFFFF)
+                    x >>= 16
+                x = ((x // freq) << 16) + (x % freq) + start
+                self.states[l] = x
+
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        words = np.array(self.words[::-1], np.uint16)
+        return words, self.states.astype(np.uint32)
+
+
+class RansRefDecoder:
+    def __init__(self, words: np.ndarray, states: np.ndarray):
+        self.words = words.astype(np.uint32)
+        self.pos = 0
+        self.states = states.astype(np.uint64)
+        self.N = len(states)
+
+    def decode_slice(self, cum: np.ndarray) -> np.ndarray:
+        """cum: [n, Lp] int cumulative tables; returns n symbols."""
+        n, Lp = cum.shape
+        N = self.N
+        T = -(-n // N)
+        out = np.zeros(n, np.int32)
+        for t in range(T):
+            for l in range(N):
+                i = t * N + l
+                if i >= n:
+                    continue
+                x = int(self.states[l])
+                slot = x & 0xFFFF
+                row = cum[i]
+                s = int(np.searchsorted(row, slot, side="right")) - 1
+                start, freq = int(row[s]), int(row[s + 1] - row[s])
+                x = freq * (x >> 16) + slot - start
+                if x < RANS_L:
+                    x = (x << 16) | int(self.words[self.pos])
+                    self.pos += 1
+                self.states[l] = x
+                out[i] = s
+        return out
+
+
+# ---------------------------------------------------------------------------
+# jitted device implementation
+# ---------------------------------------------------------------------------
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnums=(3,), donate_argnums=())
+def rans_encode_slice(starts, freqs, states, num_lanes):
+    """Vectorized reverse-order encode of one slice.
+
+    starts/freqs: [n] int32 per-symbol (cdf[s], cdf[s+1]-cdf[s]).
+    states: [N] uint32 carried lane states.
+    Returns (words_rev [n+...] int32 with emitted count, n_emitted, states).
+    Emitted words are in *reverse stream order* (the caller accumulates
+    slices first-encoded-last and flips once at the end).
+    """
+    N = num_lanes
+    n = starts.shape[0]
+    T = -(-n // N)
+    pad = T * N - n
+    starts = jnp.pad(starts, (0, pad)).reshape(T, N).astype(jnp.uint32)
+    freqs = jnp.pad(freqs, (0, pad), constant_values=1).reshape(T, N)
+    freqs = freqs.astype(jnp.uint32)
+    valid = (jnp.arange(T * N) < n).reshape(T, N)
+
+    buf = jnp.zeros(T * N, jnp.int32)  # worst case 1 word per symbol
+
+    def step(carry, inp):
+        states, cursor, buf = carry
+        start, freq, val = inp
+        emit = jnp.logical_and(val, states >= (freq << 16))
+        # stream is built backward; within a step encoder visits lanes
+        # N-1..0, so lane l's word lands at cursor + (#emitting lanes > l)
+        # positions counted from the current cursor (which grows upward in
+        # the reversed buffer).
+        idx_above = jnp.cumsum(emit[::-1])[::-1] - emit.astype(jnp.int32)
+        pos = jnp.where(emit, cursor + idx_above, T * N)  # OOB -> dropped
+        buf = buf.at[pos].set((states & 0xFFFF).astype(jnp.int32),
+                              mode="drop")
+        states = jnp.where(emit, states >> 16, states)
+        new_states = ((states // freq) << 16) + (states % freq) + start
+        states = jnp.where(val, new_states, states)
+        cursor = cursor + jnp.sum(emit.astype(jnp.int32))
+        return (states, cursor, buf), None
+
+    # reverse step order: t = T-1 .. 0
+    inputs = (starts[::-1], freqs[::-1], valid[::-1])
+    (states, cursor, buf), _ = jax.lax.scan(
+        step, (states, jnp.int32(0), buf), inputs)
+    # uint16 halves the host transfer (word values are < 2^16)
+    return buf.astype(jnp.uint16), cursor, states
+
+
+def rans_decode_body(cum, words, states, offset, num_lanes, n):
+    """Traceable decode core (call from inside a larger jitted program).
+
+    cum: [n, Lp] int32 cumulative tables; words: [W] int32 uint16-valued
+    stream; states: [N] uint32; offset: scalar int32 read position.
+    Returns (symbols [n] int32, states, new offset).
+    """
+    N = num_lanes
+    Lp = cum.shape[1]
+    T = -(-n // N)
+    pad = T * N - n
+    valid = (jnp.arange(T * N) < n).reshape(T, N)
+    # sentinel word so gathers stay in bounds even for zero-word streams
+    words = jnp.concatenate([words, jnp.zeros((1,), words.dtype)])
+    # bit width of the binary search
+    nbits = max(1, int(np.ceil(np.log2(Lp - 1))) if Lp > 2 else 1)
+
+    def step(carry, inp):
+        states, offset = carry
+        t, val = inp
+        idx = t * N + jnp.arange(N)
+        idx = jnp.minimum(idx, n - 1)
+        slot = (states & 0xFFFF).astype(jnp.int32)
+        # branchless binary search: largest s with cum[idx, s] <= slot
+        s = jnp.zeros(N, jnp.int32)
+        width = 1 << nbits
+        for _ in range(nbits):
+            width >>= 1
+            probe = jnp.minimum(s + width, Lp - 2)
+            v = cum[idx, probe]
+            s = jnp.where(v <= slot, probe, s)
+        start = _u32(cum[idx, s])
+        freq = _u32(cum[idx, s + 1] - cum[idx, s])
+        x = freq * (states >> 16) + _u32(slot) - start
+        need = jnp.logical_and(val, x < RANS_L)
+        # lane l reads the (#needing lanes with index < l)-th next word
+        rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+        w = _u32(words[jnp.minimum(offset + rank, words.shape[0] - 1)])
+        x = jnp.where(need, (x << 16) | w, x)
+        states = jnp.where(val, x, states)
+        offset = offset + jnp.sum(need.astype(jnp.int32))
+        return (states, offset), s
+
+    ts = jnp.arange(T)
+    (states, offset), syms = jax.lax.scan(step, (states, offset),
+                                          (ts, valid))
+    return syms.reshape(T * N)[:n], states, offset
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def rans_decode_slice(cum, words, states, offset, num_lanes, n):
+    """Jitted standalone wrapper around :func:`rans_decode_body`."""
+    return rans_decode_body(cum, words, states, offset, num_lanes, n)
+
+
+# ---------------------------------------------------------------------------
+# stream assembly helpers
+# ---------------------------------------------------------------------------
+
+
+def pack_stream(word_chunks_rev: Sequence[np.ndarray],
+                final_states: np.ndarray) -> bytes:
+    """Assemble the byte stream.
+
+    word_chunks_rev: per-slice reversed word arrays in *encode* order
+    (reverse decode order) — each chunk's words are reversed internally,
+    and later-encoded chunks belong earlier in the decoder's stream.
+    Layout: [N states as uint32 LE] [words uint16 LE, decode order].
+    """
+    parts = [np.asarray(final_states, np.uint32).tobytes()]
+    fwd = []
+    for chunk in reversed(list(word_chunks_rev)):
+        fwd.append(np.asarray(chunk[::-1], np.uint16))
+    if fwd:
+        parts.append(np.concatenate(fwd).tobytes())
+    return b"".join(parts)
+
+
+def unpack_stream(data: bytes, num_lanes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (states uint32 [N], words int32 [W])."""
+    states = np.frombuffer(data[: 4 * num_lanes], np.uint32).copy()
+    words = np.frombuffer(data[4 * num_lanes:], np.uint16).astype(np.int32)
+    return states, words

@@ -28,6 +28,15 @@ def rate_loss_list(numel_x: int, si_list: Sequence[jnp.ndarray]):
     return total, jnp.stack(rows)  # [S, 9]
 
 
+def rate_distortion_loss(x, x_hat, si_list, lambda_: float):
+    """Legacy lossy R + lambda*D objective (reference rate_dist.py:14-58,
+    kept for capability parity; the lossless path uses rate_loss_list)."""
+    numel = x.size
+    rate, breakdown = rate_loss_list(numel, si_list)
+    mse = jnp.mean((x - x_hat) ** 2)
+    return rate + lambda_ * mse, mse, rate
+
+
 def compression_rate_list(numel_x: int, streams) -> np.ndarray:
     """Actual bpp breakdown from bytestream lengths (incl. header row).
 

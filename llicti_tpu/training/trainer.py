@@ -158,6 +158,11 @@ class Trainer:
     def run(self) -> None:
         mode = self.config.mode
         try:
+            if mode == "debug":
+                # anomaly detection analog of torch.autograd.detect_anomaly
+                # (reference agents/base.py:112-114): fail fast on NaNs with
+                # a traceback into the producing op
+                jax.config.update("jax_debug_nans", True)
             if mode in ("train", "debug"):
                 self.train()
             elif mode == "validate":
@@ -253,8 +258,10 @@ class Trainer:
             bpsp = nbytes * 8 / img.size
             ok = np.array_equal(out[0], img)
             numel = img.size
-            from .loss import compression_rate_list
-            self.test_logger(compression_rate_list(numel, streams))
+            hdr_row = [len(s) * 8 / numel * 3 for s in streams[0]]
+            slice_rows = [[b / numel * 3 for b in row]
+                          for row in (codec.last_slice_bits or [])]
+            self.test_logger(np.asarray([hdr_row] + slice_rows))
             msg = (f"{idx:3d} {img.shape[0]:3d}x{img.shape[1]:3d} "
                    f"bpsp= {bpsp:.3f} Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
             if ok:

@@ -33,6 +33,10 @@ def main() -> None:
     from llicti_tpu.config import config_from_dict
     from llicti_tpu.training.trainer import Trainer
 
+    # agent registry: reference configs select the agent by class name
+    # (reference main.py:30 via globals()); LLICTIAgent maps to our Trainer
+    agents = {"LLICTIAgent": Trainer, "Trainer": Trainer}
+
     with open(args.config) as f:
         raw = json.load(f)
 
@@ -53,7 +57,8 @@ def main() -> None:
         cfg = config_from_dict(raw_i)
         if args.mode:
             cfg = dataclasses.replace(cfg, mode=args.mode)
-        trainer = Trainer(cfg, use_mesh=args.mesh)
+        agent_cls = agents[raw_i.get("agent", "Trainer")]
+        trainer = agent_cls(cfg, use_mesh=args.mesh)
         trainer.run()
         trainer.finalize()
 

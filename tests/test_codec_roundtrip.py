@@ -23,12 +23,12 @@ def small_cfg(**kw):
     return ModelConfig(**base)
 
 
-def make_codec(cfg, seed=0):
+def make_codec(cfg, seed=0, backend="device"):
     model = LLICTIModel(cfg=cfg)
     lev = max(cfg.dwtlevels) + 1
     x = jnp.zeros((1, 2 ** lev * 4, 2 ** lev * 4, 3))
     params = model.init(jax.random.PRNGKey(seed), x)
-    return Codec(cfg, params)
+    return Codec(cfg, params, backend=backend, num_lanes=32)
 
 
 def natural_image(h, w, seed=0):
@@ -51,13 +51,17 @@ def test_bucket_range():
     assert bucket_range(-32, 31) == (-32, 31)
 
 
-def test_roundtrip_even_size():
+@pytest.mark.parametrize("backend", ["device", "host"])
+def test_roundtrip_even_size(backend):
     cfg = small_cfg()
-    codec = make_codec(cfg)
+    codec = make_codec(cfg, backend=backend)
     img = natural_image(32, 32)
     streams = codec.compress(img)
     out = codec.decompress(streams)
     np.testing.assert_array_equal(out[0], img)
+    assert codec.last_slice_bits is not None
+    assert len(codec.last_slice_bits) == 2
+    assert all(len(row) == 9 for row in codec.last_slice_bits)
 
 
 def test_roundtrip_random_noise():
@@ -71,14 +75,27 @@ def test_roundtrip_random_noise():
 
 
 @pytest.mark.parametrize("h,w", [(17, 19), (33, 32), (30, 31), (21, 24)])
-def test_roundtrip_odd_sizes(h, w):
+@pytest.mark.parametrize("backend", ["device", "host"])
+def test_roundtrip_odd_sizes(h, w, backend):
     cfg = small_cfg()
-    codec = make_codec(cfg)
+    codec = make_codec(cfg, backend=backend)
     img = natural_image(h, w, seed=h * 100 + w)
     streams = codec.compress(img)
     out = codec.decompress(streams)
     assert out.shape == (1, h, w, 3)
     np.testing.assert_array_equal(out[0], img)
+
+
+def test_backends_agree_on_rate():
+    """Device-rANS and host-arithcoder rates should be within ~2%
+    (same CDF quantization contract, different coders + lane flush)."""
+    cfg = small_cfg()
+    dev = make_codec(cfg, backend="device")
+    hst = make_codec(cfg, backend="host")
+    img = natural_image(48, 48, seed=3)
+    b_dev = Codec.num_bytes(dev.compress(img))
+    b_hst = Codec.num_bytes(hst.compress(img))
+    assert abs(b_dev - b_hst) < 0.02 * b_hst + 32 * 4 + 64, (b_dev, b_hst)
 
 
 def test_roundtrip_extreme_values():
