@@ -158,7 +158,7 @@ class Codec:
             return tuple(y_list), mm, x00_raw
 
         # ---- per-slice programs ------------------------------------------
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
         def startfreq_fn(cum, y_lev, b, clr, ch, cw, minv):
             """Per-symbol (start, freq) int32, flattened over the coded
             (cropped) region, row-major."""
@@ -170,7 +170,7 @@ class Codec:
             hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
             return lo.reshape(-1), (hi - lo).reshape(-1)
 
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
         def gather_lohi_fn(cdfu, y_lev, b, clr, ch, cw, minv):
             """Host-backend encode transfer: 2 uint16 per pixel."""
             y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
@@ -182,7 +182,7 @@ class Codec:
             return lo, hi
 
         # ---- decode-side programs ----------------------------------------
-        @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11))
+        @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
         def decode_step_fn(cum, words, states, offset, y_lev,
                            b, clr, padH, padW, ch, cw, num_lanes, minv):
             """rANS-decode one slice and write it back into y_lev."""
@@ -195,7 +195,7 @@ class Codec:
             y_lev = y_lev.at[..., 3 * (b + 1) + clr].set(vals[..., 0])
             return y_lev, states, offset
 
-        @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+        @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 8))
         def writeback_fn(y_lev, b, clr, padH, padW, ch, cw, syms, minv):
             """Decoded symbols -> float channel of y_lev (host backend)."""
             vals = (syms.reshape(1, ch, cw) + minv).astype(jnp.float32) * INV255
@@ -212,10 +212,12 @@ class Codec:
             return out.at[..., 0:3].set(x00)
 
         @jax.jit
-        def init_scale_fn(x00_int):
-            """Raw header band (int YCoCg) -> coarsest y_lev."""
+        def init_scale_fn(raw_rgb_uint8):
+            """Raw RGB header band -> coarsest y_lev (ycocg + shift, all on
+            device — no host round trip)."""
+            ycocg = rgb_int_to_ycocg_r_int(raw_rgb_uint8.astype(jnp.int32))
             shift = jnp.array([127, 0, 0], jnp.int32)
-            x00 = (x00_int - shift).astype(jnp.float32) * INV255
+            x00 = (ycocg - shift).astype(jnp.float32) * INV255
             h, w = x00.shape[1], x00.shape[2]
             out = jnp.zeros((1, h, w, 12), jnp.float32)
             return out.at[..., 0:3].set(x00)
@@ -267,10 +269,12 @@ class Codec:
 
         y_list, mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.int32)),
                                           cfg.dwtlevels)
-        min_co, max_co, min_cg, max_cg = (int(v) for v in jax.device_get(mm))
+        # one host sync for min/max + the raw header band together
+        mm_np, x00_np = jax.device_get((mm, x00_raw))
+        min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
         minmax = [0, min_co, min_cg, 255, max_co, max_cg]
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
-        raw = np.asarray(jax.device_get(x00_raw)).tobytes()
+        raw = np.asarray(x00_np).tobytes()
         streams: List[List[bytes]] = [
             self._header_group(S, last_h, last_w, minmax, pad_int, raw)]
 
@@ -302,8 +306,7 @@ class Codec:
             for (b, clr, minv, maxv, ch, cw, pmap
                  ) in self._slices(y_lev, scl, pad_flags, minmax):
                 cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
-                st, fr = self._startfreq(cum, y_lev, b, clr, ch, cw,
-                                         jnp.int32(minv))
+                st, fr = self._startfreq(cum, y_lev, b, clr, ch, cw, minv)
                 slice_sf.append((st, fr))
                 slice_meta.append((scl, b, clr))
         # chained rANS encode in reverse decode order
@@ -330,17 +333,18 @@ class Codec:
         ]
         return streams
 
-    def _decompress_device(self, streams, S, minmax, pad_flags, x00_int):
+    def _decompress_device(self, streams, S, minmax, pad_flags, raw):
         cfg = self.cfg
         blob = streams[1][0]
         states_np, words_np = rd.unpack_stream(blob, self.N)
         states = jnp.asarray(states_np, jnp.uint32)
-        # pad the stream to a power-of-two bucket: its length is part of the
-        # jit cache key, and stream sizes differ per image
-        cap = max(1024, 1 << int(np.ceil(np.log2(max(1, words_np.size)))))
-        words = jnp.asarray(np.pad(words_np, (0, cap - words_np.size)))
+        # bucket the stream length (it is part of the jit cache key) and
+        # upload as uint16 — half the tunnel bytes
+        cap = -(-max(1, words_np.size) // 65536) * 65536
+        words = jnp.asarray(
+            np.pad(words_np.astype(np.uint16), (0, cap - words_np.size)))
         offset = jnp.int32(0)
-        y_lev = self._init_scale(jnp.asarray(x00_int))
+        y_lev = self._init_scale(jnp.asarray(raw))
         for scl in range(S - 1, -1, -1):
             if scl != S - 1:
                 y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
@@ -355,8 +359,7 @@ class Codec:
                     cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
                     y_lev, states, offset = self._decode_step(
                         cum, words, states, offset, y_lev,
-                        b, clr, padH, padW, ch, cw, self.N,
-                        jnp.int32(minv))
+                        b, clr, padH, padW, ch, cw, self.N, minv)
         y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
                                  int(pad_flags[0][1]))
         return np.asarray(jax.device_get(self._postprocess(y_3ch)))
@@ -373,8 +376,7 @@ class Codec:
             for (b, clr, minv, maxv, ch, cw, pmap
                  ) in self._slices(y_lev, scl, pad_flags, minmax):
                 cdfu = self._cdf_u16(pmap, y_lev, b, clr, minv, maxv)
-                lo, hi = self._gather_lohi(cdfu, y_lev, b, clr, ch, cw,
-                                           jnp.int32(minv))
+                lo, hi = self._gather_lohi(cdfu, y_lev, b, clr, ch, cw, minv)
                 payload.append((lo, hi))
             lohis = jax.device_get(payload)
             for idx, (lo, hi) in enumerate(lohis):
@@ -388,8 +390,8 @@ class Codec:
         ]
         return streams
 
-    def _decompress_host(self, streams, S, minmax, pad_flags, x00_int):
-        y_lev = self._init_scale(jnp.asarray(x00_int))
+    def _decompress_host(self, streams, S, minmax, pad_flags, raw):
+        y_lev = self._init_scale(jnp.asarray(raw))
         for scl in range(S - 1, -1, -1):
             if scl != S - 1:
                 y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
@@ -410,7 +412,7 @@ class Codec:
                         sc_streams[b * 3 + clr])
                     syms = jnp.asarray(syms.astype(np.int32))
                     y_lev = self._writeback(y_lev, b, clr, padH, padW,
-                                            ch, cw, syms, jnp.int32(minv))
+                                            ch, cw, syms, minv)
         y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
                                  int(pad_flags[0][1]))
         return np.asarray(jax.device_get(self._postprocess(y_3ch)))
@@ -428,13 +430,9 @@ class Codec:
         pad_flags = unpack_pad_flags(pad_int, S)
         raw = np.frombuffer(streams[0][3], np.uint8).reshape(
             1, last_h, last_w, 3)
-        x00_int = np.asarray(
-            jax.device_get(rgb_int_to_ycocg_r_int(
-                jnp.asarray(raw.astype(np.int32)))))
         if len(streams) == 2 and len(streams[1]) == 1:
-            return self._decompress_device(streams, S, minmax, pad_flags,
-                                           x00_int)
-        return self._decompress_host(streams, S, minmax, pad_flags, x00_int)
+            return self._decompress_device(streams, S, minmax, pad_flags, raw)
+        return self._decompress_host(streams, S, minmax, pad_flags, raw)
 
     # ------------------------------------------------------------------
     @staticmethod

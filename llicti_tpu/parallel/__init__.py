@@ -1,2 +1,4 @@
-from .mesh import make_mesh, replicated, batch_sharding
+from .distributed import initialize, local_batch_slice
+from .eval import make_sharded_rate_fn
+from .mesh import batch_sharding, make_mesh, replicated
 from .train import make_parallel_train_step, shard_state
