@@ -160,15 +160,21 @@ class Codec:
         # ---- per-slice programs ------------------------------------------
         @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
         def startfreq_fn(cum, y_lev, b, clr, ch, cw, minv):
-            """Per-symbol (start, freq) int32, flattened over the coded
-            (cropped) region, row-major."""
+            """Per-symbol (start, freq) int32 over the coded region,
+            row-major, padded to a power-of-two bucket with freq=0
+            sentinel symbols (masked out by the encoder), so the rANS
+            encoder compiles per bucket, not per slice size."""
             y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
             sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)
             s = sym[..., None]
             c = cum[:, :ch, :cw]
             lo = jnp.take_along_axis(c, s, axis=-1)[..., 0]
             hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
-            return lo.reshape(-1), (hi - lo).reshape(-1)
+            n = ch * cw
+            bucket = max(64, -(-n // 4096) * 4096)
+            starts = jnp.pad(lo.reshape(-1), (0, bucket - n))
+            freqs = jnp.pad((hi - lo).reshape(-1), (0, bucket - n))
+            return starts, freqs
 
         @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
         def gather_lohi_fn(cdfu, y_lev, b, clr, ch, cw, minv):
@@ -309,21 +315,29 @@ class Codec:
                 st, fr = self._startfreq(cum, y_lev, b, clr, ch, cw, minv)
                 slice_sf.append((st, fr))
                 slice_meta.append((scl, b, clr))
-        # chained rANS encode in reverse decode order
+        # chained rANS encode in reverse decode order, all slices writing
+        # into one shared (donated) buffer — a single small transfer at the
+        # end instead of 45 worst-case-sized ones
+        cap = sum(-(-int(st.shape[0]) // self.N) * self.N
+                  for st, _ in slice_sf) + self.N
+        cap = -(-cap // 65536) * 65536
         states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
-        chunks = []
+        buf = jnp.zeros(cap, jnp.int32)
+        cursor = jnp.int32(0)
+        cursors = []
         for st, fr in reversed(slice_sf):
-            buf, count, states = rd.rans_encode_slice(st, fr, states, self.N)
-            chunks.append((buf, count))
-        # one batched transfer for all word buffers + counts + states
-        bufs_np, counts_np, states_np = jax.device_get(
-            ([b for b, _ in chunks], [c for _, c in chunks], states))
-        counts = [int(c) for c in counts_np]
-        chunks_np = [np.asarray(b)[:c] for b, c in zip(bufs_np, counts)]
-        blob = rd.pack_stream(chunks_np, np.asarray(states_np))
+            buf, cursor, states = rd.rans_encode_slice(
+                st, fr, states, cursor, buf, self.N)
+            cursors.append(cursor)
+        cursors_np, states_np = jax.device_get((cursors, states))
+        total = int(cursors_np[-1])
+        bucket = min(cap, -(-max(1, total) // 65536) * 65536)
+        packed = np.asarray(jax.device_get(buf[:bucket]))[:total]
+        blob = rd.pack_stream_packed(packed, np.asarray(states_np))
         streams.append([blob])
-        # per-slice word counts (decode order) for rate breakdown logging
-        counts_decode_order = list(reversed(counts))
+        # per-slice word counts (encode order cursors -> decode order bits)
+        counts = np.diff(np.concatenate([[0], cursors_np])).astype(int)
+        counts_decode_order = list(reversed([int(c) for c in counts]))
         bits: Dict[Tuple[int, int, int], int] = {}
         for (scl, b, clr), c in zip(slice_meta, counts_decode_order):
             bits[(scl, b, clr)] = c * 16

@@ -139,51 +139,59 @@ def _u32(x):
     return x.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnums=(3,), donate_argnums=())
-def rans_encode_slice(starts, freqs, states, num_lanes):
-    """Vectorized reverse-order encode of one slice.
+def rans_encode_body(starts, freqs, states, cursor, buf, num_lanes):
+    """Traceable reverse-order encode of one slice into a shared buffer.
 
     starts/freqs: [n] int32 per-symbol (cdf[s], cdf[s+1]-cdf[s]).
-    states: [N] uint32 carried lane states.
-    Returns (words_rev [n+...] int32 with emitted count, n_emitted, states).
-    Emitted words are in *reverse stream order* (the caller accumulates
-    slices first-encoded-last and flips once at the end).
+    states: [N] uint32 carried lane states; cursor: int32 write position
+    into ``buf`` ([cap] int32), which is threaded through the whole
+    image's slice chain (donated, so no copies).  Emitted words land in
+    *reverse stream order*; one flip of buf[:final_cursor] at assembly
+    yields the decoder's forward stream.
+    Returns (buf, cursor, states).
     """
     N = num_lanes
     n = starts.shape[0]
     T = -(-n // N)
     pad = T * N - n
+    # freq == 0 marks a masked no-op symbol (tail padding); callers may
+    # pre-pad to a bucketed length with zero freqs
     starts = jnp.pad(starts, (0, pad)).reshape(T, N).astype(jnp.uint32)
-    freqs = jnp.pad(freqs, (0, pad), constant_values=1).reshape(T, N)
-    freqs = freqs.astype(jnp.uint32)
-    valid = (jnp.arange(T * N) < n).reshape(T, N)
+    freqs = jnp.pad(freqs, (0, pad)).reshape(T, N).astype(jnp.uint32)
+    cap = buf.shape[0]
 
-    buf = jnp.zeros(T * N, jnp.int32)  # worst case 1 word per symbol
-
-    def step(carry, inp):
-        states, cursor, buf = carry
-        start, freq, val = inp
-        emit = jnp.logical_and(val, states >= (freq << 16))
-        # stream is built backward; within a step encoder visits lanes
-        # N-1..0, so lane l's word lands at cursor + (#emitting lanes > l)
-        # positions counted from the current cursor (which grows upward in
-        # the reversed buffer).
-        idx_above = jnp.cumsum(emit[::-1])[::-1] - emit.astype(jnp.int32)
-        pos = jnp.where(emit, cursor + idx_above, T * N)  # OOB -> dropped
-        buf = buf.at[pos].set((states & 0xFFFF).astype(jnp.int32),
-                              mode="drop")
+    # The scan carries only the lane states; emitted words/flags come out
+    # as stacked ys and are scattered into the shared buffer ONCE (a
+    # buffer carried through the scan would be copied every step).
+    def step(states, inp):
+        start, freq = inp
+        val = freq > 0
+        freq_safe = jnp.maximum(freq, 1)
+        emit = jnp.logical_and(val, states >= (freq_safe << 16))
+        word = (states & 0xFFFF).astype(jnp.int32)
         states = jnp.where(emit, states >> 16, states)
-        new_states = ((states // freq) << 16) + (states % freq) + start
+        new_states = ((states // freq_safe) << 16) + (states % freq_safe) + start
         states = jnp.where(val, new_states, states)
-        cursor = cursor + jnp.sum(emit.astype(jnp.int32))
-        return (states, cursor, buf), None
+        return states, (word, emit)
 
     # reverse step order: t = T-1 .. 0
-    inputs = (starts[::-1], freqs[::-1], valid[::-1])
-    (states, cursor, buf), _ = jax.lax.scan(
-        step, (states, jnp.int32(0), buf), inputs)
-    # uint16 halves the host transfer (word values are < 2^16)
-    return buf.astype(jnp.uint16), cursor, states
+    inputs = (starts[::-1], freqs[::-1])
+    states, (words_t, emits) = jax.lax.scan(step, states, inputs)
+    # emission order: ascending reversed-step index, lanes N-1..0 within a
+    # step — flatten in that order and place by exclusive prefix sum
+    flat_words = words_t[:, ::-1].reshape(-1)
+    flat_emit = emits[:, ::-1].reshape(-1)
+    e32 = flat_emit.astype(jnp.int32)
+    pos = cursor + jnp.cumsum(e32) - e32
+    buf = buf.at[jnp.where(flat_emit, pos, cap)].set(flat_words, mode="drop")
+    cursor = cursor + jnp.sum(e32)
+    return buf, cursor, states
+
+
+@partial(jax.jit, static_argnums=(5,), donate_argnums=(4,))
+def rans_encode_slice(starts, freqs, states, cursor, buf, num_lanes):
+    """Jitted standalone wrapper around :func:`rans_encode_body`."""
+    return rans_encode_body(starts, freqs, states, cursor, buf, num_lanes)
 
 
 def rans_decode_body(cum, words, states, offset, num_lanes, n):
@@ -244,6 +252,18 @@ def rans_decode_slice(cum, words, states, offset, num_lanes, n):
 # ---------------------------------------------------------------------------
 # stream assembly helpers
 # ---------------------------------------------------------------------------
+
+
+def pack_stream_packed(packed_rev: np.ndarray,
+                       final_states: np.ndarray) -> bytes:
+    """Assemble the byte stream from one packed buffer prefix.
+
+    packed_rev: words in encode order (whole-image reverse stream order);
+    a single flip yields decode order.  Layout matches pack_stream.
+    """
+    return (np.asarray(final_states, np.uint32).tobytes()
+            + np.ascontiguousarray(
+                np.asarray(packed_rev, np.uint16)[::-1]).tobytes())
 
 
 def pack_stream(word_chunks_rev: Sequence[np.ndarray],

@@ -93,9 +93,10 @@ def test_jit_encode_matches_numpy(N, n, Lp):
     ref_states = ref.states.astype(np.uint32)
 
     states0 = jnp.full(N, 1 << 16, jnp.uint32)
+    buf0 = jnp.zeros(n + N, jnp.int32)
     buf, count, states = rans_encode_slice(
         jnp.asarray(starts, jnp.int32), jnp.asarray(freqs, jnp.int32),
-        states0, N)
+        states0, jnp.int32(0), buf0, N)
     count = int(count)
     np.testing.assert_array_equal(np.asarray(buf)[:count], ref_words_rev)
     np.testing.assert_array_equal(np.asarray(states), ref_states)
@@ -111,9 +112,10 @@ def test_jit_roundtrip(N, n, Lp):
     freqs = cum[np.arange(n), syms + 1] - starts
 
     states0 = jnp.full(N, 1 << 16, jnp.uint32)
+    buf0 = jnp.zeros(n + N, jnp.int32)
     buf, count, states = rans_encode_slice(
         jnp.asarray(starts, jnp.int32), jnp.asarray(freqs, jnp.int32),
-        states0, N)
+        states0, jnp.int32(0), buf0, N)
     blob = pack_stream([np.asarray(buf)[: int(count)]], np.asarray(states))
     st, words = unpack_stream(blob, N)
     syms_out, st2, off = rans_decode_slice(
@@ -133,16 +135,19 @@ def test_jit_chained_slices_roundtrip():
         slices.append((cum, syms))
 
     states = jnp.full(N, 1 << 16, jnp.uint32)
-    chunks = []
+    total_cap = sum(len(s_) for _, s_ in slices) + 4 * N
+    buf = jnp.zeros(total_cap, jnp.int32)
+    cursor = jnp.int32(0)
     for cum, syms in reversed(slices):
         n = len(syms)
         starts = cum[np.arange(n), syms]
         freqs = cum[np.arange(n), syms + 1] - starts
-        buf, count, states = rans_encode_slice(
+        buf, cursor, states = rans_encode_slice(
             jnp.asarray(starts, jnp.int32), jnp.asarray(freqs, jnp.int32),
-            states, N)
-        chunks.append(np.asarray(buf)[: int(count)])
-    blob = pack_stream(chunks, np.asarray(states))
+            states, cursor, buf, N)
+    from llicti_tpu.coder.rans_device import pack_stream_packed
+    blob = pack_stream_packed(np.asarray(buf)[: int(cursor)],
+                              np.asarray(states))
 
     st, words = unpack_stream(blob, N)
     st = jnp.asarray(st, jnp.uint32)
@@ -162,9 +167,10 @@ def test_rate_near_entropy():
     freqs = (cum[np.arange(n), syms + 1] - starts).astype(np.int64)
     entropy_bits = np.sum(-np.log2(freqs / 2 ** 16))
     states0 = jnp.full(N, 1 << 16, jnp.uint32)
+    buf0 = jnp.zeros(n + N, jnp.int32)
     buf, count, states = rans_encode_slice(
         jnp.asarray(starts, jnp.int32), jnp.asarray(freqs, jnp.int32),
-        states0, N)
+        states0, jnp.int32(0), buf0, N)
     blob = pack_stream([np.asarray(buf)[: int(count)]], np.asarray(states))
     total_bits = len(blob) * 8
     # within 1% + lane-flush overhead of the information content

@@ -103,6 +103,33 @@ def test_spatial_eval_sharding(devices):
     np.testing.assert_allclose(got, base, rtol=1e-5)
 
 
+def test_sharded_rate_fn_api(devices):
+    from llicti_tpu.parallel.eval import make_sharded_rate_fn
+    from llicti_tpu.training.loss import rate_loss_list
+
+    cfg = tiny_cfg()
+    model = LLICTIModel(cfg=cfg)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mesh = make_mesh(data=2, spatial=4, devices=devices)
+    run = make_sharded_rate_fn(model, mesh)
+    total, bd = run(params, x)
+
+    def fwd(p, xx):
+        return rate_loss_list(xx.size, model.apply(p, xx))[0]
+
+    base = float(jax.jit(fwd)(params, jnp.asarray(x)))
+    np.testing.assert_allclose(float(total), base, rtol=1e-5)
+
+
+def test_distributed_helpers_single_process():
+    from llicti_tpu.parallel.distributed import initialize, local_batch_slice
+
+    assert initialize() in (False, True)  # no-crash contract single host
+    assert local_batch_slice(8) == slice(0, 8)
+
+
 def test_graft_dryrun_runs(devices):
     import __graft_entry__ as ge
 
