@@ -41,6 +41,7 @@ from . import coder
 from .coder import rans_device as rd
 from .config import ModelConfig
 from .models.llicti import LLICTIModel
+from .ops.cdf_pallas import gmm_cdf_table_int32_pallas
 from .ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
 from .ops.gmm import cdf_float_to_uint16, cdf_sampling_points, gmm_cdf_table
 from .ops.wavelet import (
@@ -92,7 +93,8 @@ class Codec:
     """
 
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",
-                 num_lanes: int = 512, num_threads: int = 8):
+                 num_lanes: int = 512, num_threads: int = 8,
+                 use_pallas_cdf: bool = False):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode == 2, (
             "codec path requires clrchs=3, clr_joint_mode=2 (as reference)")
         assert cfg.distribution == "normal" and cfg.num_mixtures > 1
@@ -118,6 +120,17 @@ class Codec:
                                     scl, b, method=LLICTIModel.band_params)
 
         def _cdf_float(pmap, y_lev, b, clr, minv, maxv):
+            stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
+            pts = cdf_sampling_points(minv, maxv)
+            return gmm_cdf_table(pts, stdevs, means, weights)
+
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def cdf_u16_fn(pmap, y_lev, b, clr, minv, maxv):
+            """[1,h,w,P] uint16 table (host-backend contract)."""
+            return cdf_float_to_uint16(
+                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
+
+        def _gmm_params(pmap, y_lev, b, clr):
             y0 = y_lev[..., 3 * (b + 1):3 * (b + 1) + 1]
             y1 = y_lev[..., 3 * (b + 1) + 1:3 * (b + 1) + 2]
             stdevs = pmap[..., clr * M:(clr + 1) * M]
@@ -128,18 +141,15 @@ class Codec:
             elif clr == 2:
                 means = means + (pmap[..., 10 * M:11 * M] * y0
                                  + pmap[..., 11 * M:12 * M] * y1)
-            pts = cdf_sampling_points(minv, maxv)
-            return gmm_cdf_table(pts, stdevs, means, weights)
-
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-        def cdf_u16_fn(pmap, y_lev, b, clr, minv, maxv):
-            """[1,h,w,P] uint16 table (host-backend contract)."""
-            return cdf_float_to_uint16(
-                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
+            return stdevs, means, weights
 
         @partial(jax.jit, static_argnums=(2, 3, 4, 5))
         def cdf_cum_fn(pmap, y_lev, b, clr, minv, maxv):
             """[1,h,w,P] int32 cum table (device-backend contract)."""
+            if use_pallas_cdf:
+                stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
+                pts = cdf_sampling_points(minv, maxv)
+                return gmm_cdf_table_int32_pallas(pts, stdevs, means, weights)
             return rd.cdf_float_to_cum_int32(
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 

@@ -1,0 +1,112 @@
+"""Pallas TPU kernel: fused GMM CDF table build + fixed-point quantize.
+
+The decode/encode hot op materializes, per pixel, a P-point (257/513)
+mixture CDF in uint16/int32 fixed point — ~0.5-1 KB/pixel of HBM writes
+with X erf evaluations per point.  XLA handles the elementwise chain
+well, but fusing the mixture loop, the scale/weight bounds and the
+quantization into one VMEM-resident kernel removes all intermediate HBM
+traffic (the f32 [h,w,P] intermediate never exists).
+
+The normal CDF uses the Abramowitz-Stegun 7.1.26 erf polynomial
+(|err| < 1.5e-7, ~0.01 of one 1/2^16 quantization step) — monotone and
+cheaper than exact erf on the VPU.  Encoder and decoder must simply both
+use the same kernel (Codec(use_pallas_cdf=True) wires that); agreement
+with the float-XLA path is NOT required, only self-consistency.
+
+Monotonicity of the quantized table is enforced with a log2(P)-step
+shift-max network (cummax equivalent) — plain vector ops, no scan
+primitive needed inside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gmm import SCALE_BOUND_NORMAL, WEIGHT_BOUND
+
+_SQRT2_INV = np.float32(2 ** -0.5)
+# Abramowitz-Stegun 7.1.26 erf coefficients
+_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_P = 0.3275911
+
+
+def _erf_as(x):
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + _P * ax)
+    poly = t * (_A[0] + t * (_A[1] + t * (_A[2] + t * (_A[3] + t * _A[4]))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _phi(z):
+    """Standard normal CDF via the A&S erf polynomial."""
+    return 0.5 * (1.0 + _erf_as(z * _SQRT2_INV))
+
+
+def _cdf_kernel(pts_ref, std_ref, mean_ref, w_ref, out_ref, *, X, P):
+    # block shapes: params [bn, X] (pixels flattened), pts [1, P],
+    # out [bn, P]
+    std = jnp.maximum(std_ref[...], SCALE_BOUND_NORMAL)
+    w = jnp.maximum(w_ref[...], WEIGHT_BOUND)
+    w = w / (1e-9 + jnp.sum(w, axis=-1, keepdims=True))
+    mean = mean_ref[...]
+    pts = pts_ref[0, :]  # [P]
+    bn = std.shape[0]
+    acc = jnp.zeros((bn, P), jnp.float32)
+    for x in range(X):
+        z = (pts[None, :] - mean[:, x:x + 1]) / std[:, x:x + 1]
+        acc = acc + w[:, x:x + 1] * _phi(z)
+    new_max = np.float32(2 ** 16 - (P - 1))
+    q = jnp.round(jnp.clip(acc, 0.0, 1.0) * new_max).astype(jnp.int32)
+    # monotonize: shift-max ladder == cummax along P (log2(P) vector ops)
+    shift = 1
+    while shift < P:
+        shifted = jnp.pad(q, ((0, 0), (shift, 0)),
+                          constant_values=-(2 ** 30))[:, :P]
+        q = jnp.maximum(q, shifted)
+        shift <<= 1
+    q = q + jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
+    # top entry is exactly 2^16 (the coder's implicit total)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
+    out_ref[...] = jnp.where(col == P - 1, 1 << 16, q)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def gmm_cdf_table_int32_pallas(points, stdevs, means, weights,
+                               block_pixels: int = 512):
+    """int32 cum table via the fused Pallas kernel.
+
+    points: [P]; stdevs/means/weights: [..., X].
+    Returns [..., P] int32 with cum[...,0]>=0, cum[...,-1]==2^16.
+    """
+    X = stdevs.shape[-1]
+    P = points.shape[0]
+    lead_shape = stdevs.shape[:-1]
+    n = int(np.prod(lead_shape))
+    bn = block_pixels
+    n_pad = -(-n // bn) * bn
+    def flat(a):
+        a = a.reshape(n, X)
+        return jnp.pad(a, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+    std2, mean2, w2 = flat(stdevs), flat(means), flat(weights)
+    pts2 = points.reshape(1, P).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_cdf_kernel, X=X, P=P),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P), jnp.int32),
+        grid=(n_pad // bn,),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+        in_specs=[
+            pl.BlockSpec((1, P), lambda i: (0, 0)),
+            pl.BlockSpec((bn, X), lambda i: (i, 0)),
+            pl.BlockSpec((bn, X), lambda i: (i, 0)),
+            pl.BlockSpec((bn, X), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, P), lambda i: (i, 0)),
+    )(pts2, std2, mean2, w2)
+    return out[:n].reshape(lead_shape + (P,))

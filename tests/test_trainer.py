@@ -37,6 +37,7 @@ def test_train_validate_checkpoint_resume(tmp_path):
     cfg = tiny_config(tmp_path)
     tr = Trainer(cfg)
     tr.run()
+    tr.finalize()  # the CLI flow: run + finalize (writes epoch-complete meta)
     assert tr.current_iteration == 4  # 8 imgs / batch 2
     assert tr.ckpt.exists("checkpoint")
     assert tr.ckpt.exists("model_best")
