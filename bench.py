@@ -39,6 +39,16 @@ def main() -> None:
 
     init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), init_x)
+    # use trained params when available (tools/train_bench_ckpt.py)
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_ckpt")
+    try:
+        from llicti_tpu.utils.checkpoint import CheckpointManager
+
+        params, meta = CheckpointManager(ckpt_dir).load("bench", params)
+        print(f"loaded trained bench params ({meta})", file=sys.stderr)
+    except FileNotFoundError:
+        pass
     codec = Codec(cfg, params)
     img = synthetic_image(H, W, seed=42)
 

@@ -97,6 +97,20 @@ def test_clrjnt0_mode():
     assert si_list[0].shape == (1, 8, 8, 9)
 
 
+def test_clrjnt1_mode():
+    cfg = paper_config(chs=(8, 1), dwtlevels=(0, 1), useprevlevNN=(False, True),
+                       evens=(4, 4), odds=(3, 3), clr_joint_mode=1)
+    model = LLICTIModel(cfg=cfg)
+    x = jnp.asarray(
+        np.random.default_rng(4).uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    si_list = model.apply(params, x)
+    # 3 bands x (1 Y si + 2 CoCg si) = 9 channels, zero channel dropped
+    assert si_list[0].shape == (1, 8, 8, 9)
+    assert np.isfinite(np.asarray(si_list[0])).all()
+
+
 def test_logistic_distribution():
     cfg = paper_config(chs=(8, 1), dwtlevels=(0, 1), useprevlevNN=(False, True),
                        evens=(4, 4), odds=(3, 3), distribution="logistic")
