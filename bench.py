@@ -38,7 +38,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), init_x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
     # use trained params when available (tools/train_bench_ckpt.py)
     ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_ckpt")

@@ -238,6 +238,14 @@ class Codec:
             out = jnp.zeros((1, h, w, 12), jnp.float32)
             return out.at[..., 0:3].set(x00)
 
+        @partial(jax.jit, static_argnums=(1,))
+        def pad_words_fn(w, cap):
+            """Small upload -> fixed worst-case-shaped stream buffer, so the
+            decode programs' shapes depend only on the image shape (a
+            stream-length-dependent shape would recompile the 45 scan
+            programs whenever the compressed size changes)."""
+            return jnp.zeros(cap, w.dtype).at[: w.shape[0]].set(w)
+
         @jax.jit
         def postprocess_fn(y_3ch):
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + jnp.array(
@@ -254,6 +262,7 @@ class Codec:
         self._writeback = writeback_fn
         self._next_scale = next_scale_fn
         self._init_scale = init_scale_fn
+        self._pad_words = pad_words_fn
         self._postprocess = postprocess_fn
 
     # ------------------------------------------------------------------
@@ -263,6 +272,28 @@ class Codec:
         if clr == 0:
             return -127, 128
         return bucket_range(int(minmax[clr]), int(minmax[3 + clr]))
+
+    def _scale_shapes(self, S, last_h, last_w, pad_flags):
+        """(scl, h, w) per scale in decode order, shape-derived only."""
+        h, w = last_h, last_w
+        shapes = [(S - 1, h, w)]
+        for scl in range(S - 2, -1, -1):
+            h = 2 * h - int(pad_flags[scl + 1][0])
+            w = 2 * w - int(pad_flags[scl + 1][1])
+            shapes.append((scl, h, w))
+        return shapes
+
+    def _words_cap(self, S, last_h, last_w, pad_flags) -> int:
+        """Worst-case stream words, derived from the image shape only."""
+        total = self.N
+        for scl, h, w in self._scale_shapes(S, last_h, last_w, pad_flags):
+            padH, padW = pad_flags[scl]
+            for b in range(3):
+                ch, cw = band_coded_shape(h, w, b, padH, padW)
+                for _clr in range(3):
+                    bucket = max(64, -(-(ch * cw) // 4096) * 4096)
+                    total += -(-bucket // self.N) * self.N
+        return -(-total // 65536) * 65536
 
     def _header_group(self, S, last_h, last_w, minmax, pad_int, raw
                       ) -> List[bytes]:
@@ -362,11 +393,17 @@ class Codec:
         blob = streams[1][0]
         states_np, words_np = rd.unpack_stream(blob, self.N)
         states = jnp.asarray(states_np, jnp.uint32)
-        # bucket the stream length (it is part of the jit cache key) and
-        # upload as uint16 — half the tunnel bytes
-        cap = -(-max(1, words_np.size) // 65536) * 65536
-        words = jnp.asarray(
-            np.pad(words_np.astype(np.uint16), (0, cap - words_np.size)))
+        # upload the (small, bucketed) stream as uint16, then pad on device
+        # to the shape-derived worst-case buffer so decode program shapes
+        # never depend on the compressed size
+        up = -(-max(1, words_np.size) // 16384) * 16384
+        w_small = jnp.asarray(
+            np.pad(words_np.astype(np.uint16), (0, up - words_np.size)))
+        S_ = S
+        lh = raw.shape[1]
+        lw = raw.shape[2]
+        cap = self._words_cap(S_, lh, lw, pad_flags)
+        words = self._pad_words(w_small, cap)
         offset = jnp.int32(0)
         y_lev = self._init_scale(jnp.asarray(raw))
         for scl in range(S - 1, -1, -1):

@@ -52,7 +52,9 @@ def get_learning_rate(state: TrainState) -> float:
 
 def init_state(model, cfg, rng, sample_batch, learning_rate: float,
                clip_value: float = 5.0) -> Tuple[TrainState, optax.GradientTransformation]:
-    params = model.init(rng, sample_batch)
+    # jit the init: eager flax init is hundreds of tiny device ops (each a
+    # compile+RPC on remote TPU backends)
+    params = jax.jit(model.init)(rng, sample_batch)
     tx = make_optimizer(learning_rate, clip_value)
     opt_state = tx.init(params)
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx

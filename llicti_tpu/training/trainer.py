@@ -245,7 +245,8 @@ class Trainer:
     def eval_model(self):
         """Real codec round-trip over the test set (reference
         llicti_agent.py:122-164)."""
-        codec = Codec(self.config.model, self.state.params)
+        lanes = 512 if jax.default_backend() == "tpu" else 64
+        codec = Codec(self.config.model, self.state.params, num_lanes=lanes)
         results = []
         for idx, img in enumerate(self.test_loader.iter_uint8()):
             t0 = time.time()

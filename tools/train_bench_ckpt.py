@@ -64,7 +64,7 @@ def main() -> None:
             state, m = step(state, jnp.asarray(batch))
             last = m
             done += 1
-            if done % 200 == 0:
+            if done % 50 == 0:
                 print(f"step {done}: rate {float(m['loss']):.3f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
             if done >= args.steps:
