@@ -103,21 +103,26 @@ def gmm_cdf_table(
     scales: jnp.ndarray,
     means: jnp.ndarray,
     weights: jnp.ndarray,
+    *,
+    logistic: bool = False,
 ) -> jnp.ndarray:
     """Float mixture CDF evaluated on ``points`` for every pixel.
 
     points: [P]; scales/means/weights: [..., X] (single color channel, X
     mixtures).  Returns [..., P].  Reference:
     entropy_layer_nets.py:185-204 (note the 1e-9 guard in the weight
-    normalization, which differs from the training path).
+    normalization, which differs from the training path).  The logistic
+    variant (sigmoid CDF, scale bound 0.04 — entropy_layer_nets.py:234-282)
+    extends the codec beyond the reference, whose coding path is
+    normal-only.
     """
-    scales = lower_bound(scales, SCALE_BOUND_NORMAL)
+    scales = lower_bound(
+        scales, SCALE_BOUND_LOGISTIC if logistic else SCALE_BOUND_NORMAL)
     w = lower_bound(weights, WEIGHT_BOUND)
     w = w / (1e-9 + jnp.sum(w, axis=-1, keepdims=True))
     # [..., X, P]
-    cdf_mix = standardized_cumulative(
-        (points - means[..., None]) / scales[..., None]
-    )
+    z = (points - means[..., None]) / scales[..., None]
+    cdf_mix = jax.nn.sigmoid(z) if logistic else standardized_cumulative(z)
     return jnp.sum(w[..., None] * cdf_mix, axis=-2)
 
 
