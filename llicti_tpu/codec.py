@@ -95,9 +95,14 @@ class Codec:
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",
                  num_lanes: int = 512, num_threads: int = 8,
                  use_pallas_cdf: bool = False):
-        assert cfg.clrchs == 3 and cfg.clr_joint_mode == 2, (
-            "codec path requires clrchs=3, clr_joint_mode=2 (as reference)")
-        assert cfg.distribution == "normal" and cfg.num_mixtures > 1
+        assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2), (
+            "codec path requires clrchs=3 (reference codes only clrjnt=2; "
+            "clrjnt 0/1 coding is an extension beyond the reference)")
+        assert not (cfg.clr_joint_mode == 0 and cfg.clrjnt0seqmd), (
+            "clrjnt0seqmd conditions band params on the current pixel's "
+            "earlier colors; not supported by the codec path")
+        assert cfg.distribution in ("normal", "logistic")
+        assert cfg.num_mixtures > 1
         assert cfg.ycocg, "codec path requires ycocg=True"
         assert backend in ("device", "host")
         self.cfg = cfg
@@ -109,6 +114,20 @@ class Codec:
         self.last_slice_bits: Optional[List[List[int]]] = None
 
         M = cfg.num_mixtures
+        c = cfg.cond_channels  # 3 for clrjnt 0/2, 4 for clrjnt 1 (zero ch)
+        clr_off = 1 if cfg.clr_joint_mode == 1 else 0
+        logistic = cfg.distribution == "logistic"
+        if use_pallas_cdf:
+            assert cfg.clr_joint_mode == 2 and not logistic, (
+                "pallas CDF kernel covers the clrjnt=2 normal path")
+        self._c = c
+        self._clr_off = clr_off
+
+        def sym_ch(b, clr):
+            """Channel of color ``clr`` of band ``b`` inside y_lev."""
+            return c * (b + 1) + clr_off + clr
+
+        self._sym_ch = sym_ch
 
         # ---- shared jitted programs (both directions call these with the
         # ---- same shapes; the jit cache makes them the same executables).
@@ -116,13 +135,14 @@ class Codec:
         # ---- op is a host round-trip on the TPU tunnel.
         @partial(jax.jit, static_argnums=(2, 3))
         def band_params_fn(params_, y_lev, scl, b):
-            return self.model.apply(params_, y_lev[..., 0:3 * (b + 1)],
+            return self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                     scl, b, method=LLICTIModel.band_params)
 
         def _cdf_float(pmap, y_lev, b, clr, minv, maxv):
             stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
             pts = cdf_sampling_points(minv, maxv)
-            return gmm_cdf_table(pts, stdevs, means, weights)
+            return gmm_cdf_table(pts, stdevs, means, weights,
+                                 logistic=logistic)
 
         @partial(jax.jit, static_argnums=(2, 3, 4, 5))
         def cdf_u16_fn(pmap, y_lev, b, clr, minv, maxv):
@@ -131,8 +151,30 @@ class Codec:
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
         def _gmm_params(pmap, y_lev, b, clr):
-            y0 = y_lev[..., 3 * (b + 1):3 * (b + 1) + 1]
-            y1 = y_lev[..., 3 * (b + 1) + 1:3 * (b + 1) + 2]
+            """Slice one color's mixture params + cross-color mean updates.
+
+            Param channel layouts per clr_joint_mode follow the reference
+            (LLICTI_nets.py:827-935; see Interpolator.self_informations).
+            """
+            if cfg.clr_joint_mode == 0:
+                stdevs = pmap[..., 3 * clr * M:(3 * clr + 1) * M]
+                means = pmap[..., (3 * clr + 1) * M:(3 * clr + 2) * M]
+                weights = pmap[..., (3 * clr + 2) * M:(3 * clr + 3) * M]
+                return stdevs, means, weights
+            if cfg.clr_joint_mode == 1:
+                if clr == 0:  # Y uses 2M mixtures
+                    return (pmap[..., 2 * M:4 * M], pmap[..., 4 * M:6 * M],
+                            pmap[..., 6 * M:8 * M])
+                i = clr - 1  # Co, Cg share m-major [8M:10M]... blocks
+                stdevs = pmap[..., (8 + i) * M:(9 + i) * M]
+                means = pmap[..., (10 + i) * M:(11 + i) * M]
+                weights = pmap[..., (12 + i) * M:(13 + i) * M]
+                if clr == 2:  # mean_Cg += a * Co (decoded)
+                    y_co = y_lev[..., sym_ch(b, 1):sym_ch(b, 1) + 1]
+                    means = means + pmap[..., 14 * M:15 * M] * y_co
+                return stdevs, means, weights
+            y0 = y_lev[..., sym_ch(b, 0):sym_ch(b, 0) + 1]
+            y1 = y_lev[..., sym_ch(b, 1):sym_ch(b, 1) + 1]
             stdevs = pmap[..., clr * M:(clr + 1) * M]
             means = pmap[..., (3 + clr) * M:(3 + clr + 1) * M]
             weights = pmap[..., (6 + clr) * M:(6 + clr + 1) * M]
@@ -143,8 +185,7 @@ class Codec:
                                  + pmap[..., 11 * M:12 * M] * y1)
             return stdevs, means, weights
 
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-        def cdf_cum_fn(pmap, y_lev, b, clr, minv, maxv):
+        def _cdf_cum(pmap, y_lev, b, clr, minv, maxv):
             """[1,h,w,P] int32 cum table (device-backend contract)."""
             if use_pallas_cdf:
                 stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
@@ -152,6 +193,61 @@ class Codec:
                 return gmm_cdf_table_int32_pallas(pts, stdevs, means, weights)
             return rd.cdf_float_to_cum_int32(
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
+
+        # ---- fused per-(scale, band) program -------------------------------
+        # ONE program runs conv -> 3x(CDF table -> rANS decode -> write-back).
+        # The encoder calls the *same executable* with ``enable=0``: the
+        # rANS scan is skipped via lax.cond and the decoded write-back is
+        # select()'d away, while the per-symbol (start, freq) pairs gathered
+        # at the true symbols come out for the encoder's chain.  Encoder and
+        # decoder therefore compute every CDF in the same compiled program —
+        # bit-exactness by construction (SURVEY.md §7 "hard parts") — and
+        # decode needs only ~4 dispatches per scale instead of ~22.
+        @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+        def scale_band_fn(params_, y_lev, words, states, offset, enable,
+                          scl, b, padH, padW, ranges, num_lanes):
+            pmap = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
+                                    scl, b, method=LLICTIModel.band_params)
+            h, w = y_lev.shape[1], y_lev.shape[2]
+            ch_, cw = band_coded_shape(h, w, b, padH, padW)
+            n = ch_ * cw
+            bucket = max(64, -(-n // 4096) * 4096)
+            sf = []
+            on = enable > 0
+            for clr in range(3):
+                minv, maxv = ranges[clr]
+                cum = _cdf_cum(pmap, y_lev, b, clr, minv, maxv)
+                cc = cum[:, :ch_, :cw]
+                # encode-side: gather (start, freq) at the true symbols
+                # (on decode the channel is garbage; clamped + ignored)
+                yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
+                sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
+                sym = jnp.clip(sym, 0, cum.shape[-1] - 2)[..., None]
+                lo = jnp.take_along_axis(cc, sym, axis=-1)[..., 0]
+                hi = jnp.take_along_axis(cc, sym + 1, axis=-1)[..., 0]
+                sf.append(jnp.pad(lo.reshape(-1), (0, bucket - n)))
+                sf.append(jnp.pad((hi - lo).reshape(-1), (0, bucket - n)))
+                # decode-side: rANS scan under cond (skipped when encoding)
+                cum2 = cc.reshape(n, -1)
+
+                def dec(args, cum2=cum2, n=n):
+                    w_, s_, o_ = args
+                    return rd.rans_decode_body(cum2, w_, s_, o_,
+                                               num_lanes, n)
+
+                def skip(args, n=n):
+                    _w, s_, o_ = args
+                    return jnp.zeros((n,), jnp.int32), s_, o_
+
+                syms, states, offset = jax.lax.cond(
+                    on, dec, skip, (words, states, offset))
+                vals = (syms.reshape(1, ch_, cw) + minv).astype(
+                    jnp.float32) * INV255
+                vals = pad_decoded_band(vals[..., None], b, padH, padW)[..., 0]
+                cur = y_lev[..., sym_ch(b, clr)]
+                y_lev = y_lev.at[..., sym_ch(b, clr)].set(
+                    jnp.where(on, vals, cur))
+            return y_lev, states, offset, tuple(sf)
 
         # ---- front end (encode): one program per image shape -------------
         @partial(jax.jit, static_argnums=(1,))
@@ -161,71 +257,42 @@ class Codec:
                   jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
             shift = jnp.array([127, 0, 0], jnp.int32)
             x = (ycocg - shift).astype(jnp.float32) * INV255
+            if clr_off:
+                zrs = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+                x = jnp.concatenate([zrs, x], axis=-1)
             last_stride = 2 ** (max(levels) + 1)
             x00_raw = rgb_int[:, ::last_stride, ::last_stride, :].astype(
                 jnp.uint8)
             y_list, _, _ = lazy_dwt(x, levels, pad=True)
             return tuple(y_list), mm, x00_raw
 
-        # ---- per-slice programs ------------------------------------------
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-        def startfreq_fn(cum, y_lev, b, clr, ch, cw, minv):
-            """Per-symbol (start, freq) int32 over the coded region,
-            row-major, padded to a power-of-two bucket with freq=0
-            sentinel symbols (masked out by the encoder), so the rANS
-            encoder compiles per bucket, not per slice size."""
-            y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
-            sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)
-            s = sym[..., None]
-            c = cum[:, :ch, :cw]
-            lo = jnp.take_along_axis(c, s, axis=-1)[..., 0]
-            hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
-            n = ch * cw
-            bucket = max(64, -(-n // 4096) * 4096)
-            starts = jnp.pad(lo.reshape(-1), (0, bucket - n))
-            freqs = jnp.pad((hi - lo).reshape(-1), (0, bucket - n))
-            return starts, freqs
-
+        # ---- host-backend per-slice programs --------------------------------
         @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
         def gather_lohi_fn(cdfu, y_lev, b, clr, ch, cw, minv):
             """Host-backend encode transfer: 2 uint16 per pixel."""
-            y = y_lev[:, :ch, :cw, 3 * (b + 1) + clr]
+            y = y_lev[:, :ch, :cw, sym_ch(b, clr)]
             sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)
             s = sym[..., None]
-            c = cdfu[:, :ch, :cw]
-            lo = jnp.take_along_axis(c, s, axis=-1)[..., 0]
-            hi = jnp.take_along_axis(c, s + 1, axis=-1)[..., 0]
+            cc = cdfu[:, :ch, :cw]
+            lo = jnp.take_along_axis(cc, s, axis=-1)[..., 0]
+            hi = jnp.take_along_axis(cc, s + 1, axis=-1)[..., 0]
             return lo, hi
-
-        # ---- decode-side programs ----------------------------------------
-        @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
-        def decode_step_fn(cum, words, states, offset, y_lev,
-                           b, clr, padH, padW, ch, cw, num_lanes, minv):
-            """rANS-decode one slice and write it back into y_lev."""
-            n = ch * cw
-            cum2 = cum[:, :ch, :cw].reshape(n, -1)
-            syms, states, offset = rd.rans_decode_body(
-                cum2, words, states, offset, num_lanes, n)
-            vals = (syms.reshape(1, ch, cw) + minv).astype(jnp.float32) * INV255
-            vals = pad_decoded_band(vals[..., None], b, padH, padW)
-            y_lev = y_lev.at[..., 3 * (b + 1) + clr].set(vals[..., 0])
-            return y_lev, states, offset
 
         @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 8))
         def writeback_fn(y_lev, b, clr, padH, padW, ch, cw, syms, minv):
             """Decoded symbols -> float channel of y_lev (host backend)."""
             vals = (syms.reshape(1, ch, cw) + minv).astype(jnp.float32) * INV255
             vals = pad_decoded_band(vals[..., None], b, padH, padW)
-            y_lev = y_lev.at[..., 3 * (b + 1) + clr].set(vals[..., 0])
+            y_lev = y_lev.at[..., sym_ch(b, clr)].set(vals[..., 0])
             return y_lev
 
         @partial(jax.jit, static_argnums=(1, 2))
         def next_scale_fn(y_lev, crop_h, crop_w):
             """Interleave a finished scale into the next finer x00."""
-            x00 = interleave_scale(y_lev, 3, crop_h, crop_w)
+            x00 = interleave_scale(y_lev, c, crop_h, crop_w)
             h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 12), jnp.float32)
-            return out.at[..., 0:3].set(x00)
+            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+            return out.at[..., 0:c].set(x00)
 
         @jax.jit
         def init_scale_fn(raw_rgb_uint8):
@@ -235,8 +302,8 @@ class Codec:
             shift = jnp.array([127, 0, 0], jnp.int32)
             x00 = (ycocg - shift).astype(jnp.float32) * INV255
             h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 12), jnp.float32)
-            return out.at[..., 0:3].set(x00)
+            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+            return out.at[..., clr_off:clr_off + 3].set(x00)
 
         @partial(jax.jit, static_argnums=(1,))
         def pad_words_fn(w, cap):
@@ -246,19 +313,20 @@ class Codec:
             programs whenever the compressed size changes)."""
             return jnp.zeros(cap, w.dtype).at[: w.shape[0]].set(w)
 
-        @jax.jit
-        def postprocess_fn(y_3ch):
+        @partial(jax.jit, static_argnums=(1, 2))
+        def postprocess_fn(y_lev, crop_h, crop_w):
+            """Final interleave + inverse color transform, fully on device."""
+            y_c = interleave_scale(y_lev, c, crop_h, crop_w)
+            y_3ch = y_c[..., clr_off:clr_off + 3]
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + jnp.array(
                 [127, 0, 0], jnp.int32)
             return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
-        self._cdf_cum = cdf_cum_fn
+        self._scale_band = scale_band_fn
         self._front = front_fn
-        self._startfreq = startfreq_fn
         self._gather_lohi = gather_lohi_fn
-        self._decode_step = decode_step_fn
         self._writeback = writeback_fn
         self._next_scale = next_scale_fn
         self._init_scale = init_scale_fn
@@ -342,34 +410,51 @@ class Codec:
                 minv, maxv = self._clr_range(clr, minmax)
                 yield (b, clr, minv, maxv, ch, cw, pmap)
 
+    def _ranges(self, minmax):
+        return tuple(self._clr_range(clr, minmax) for clr in range(3))
+
     def _compress_device(self, streams, y_list, minmax, pad_flags):
         cfg = self.cfg
         S = cfg.num_scales
+        ranges = self._ranges(minmax)
+        last_h = y_list[S - 1].shape[1]
+        last_w = y_list[S - 1].shape[2]
+        cap = self._words_cap(S, last_h, last_w, pad_flags)
+        # dummies matching the decoder's shapes: the fused program is the
+        # *same executable* for both directions (enable=0 skips the scan)
+        dummy_words = self._pad_words(jnp.zeros((16384,), jnp.uint16), cap)
+        dummy_states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
+        zero = jnp.int32(0)
         # gather per-slice (start, freq) in decode order
         slice_sf = []  # (starts, freqs) device arrays
         slice_meta = []  # (scl, b, clr)
         for scl in range(S - 1, -1, -1):
             y_lev = y_list[scl]
-            for (b, clr, minv, maxv, ch, cw, pmap
-                 ) in self._slices(y_lev, scl, pad_flags, minmax):
-                cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
-                st, fr = self._startfreq(cum, y_lev, b, clr, ch, cw, minv)
-                slice_sf.append((st, fr))
-                slice_meta.append((scl, b, clr))
-        # chained rANS encode in reverse decode order, all slices writing
-        # into one shared (donated) buffer — a single small transfer at the
-        # end instead of 45 worst-case-sized ones
-        cap = sum(-(-int(st.shape[0]) // self.N) * self.N
-                  for st, _ in slice_sf) + self.N
-        cap = -(-cap // 65536) * 65536
+            padH, padW = pad_flags[scl]
+            for b in range(3):
+                _ylev, _st, _off, sf = self._scale_band(
+                    self.params, y_lev, dummy_words, dummy_states, zero,
+                    zero, scl, b, padH, padW, ranges, self.N)
+                for clr in range(3):
+                    slice_sf.append((sf[2 * clr], sf[2 * clr + 1]))
+                    slice_meta.append((scl, b, clr))
+        # chained rANS encode in reverse decode order, one program per
+        # scale (9 slices each), all writing into one shared (donated)
+        # buffer — a single small transfer at the end
+        enc_cap = sum(-(-int(st.shape[0]) // self.N) * self.N
+                      for st, _ in slice_sf) + self.N
+        enc_cap = -(-enc_cap // 65536) * 65536
         states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
-        buf = jnp.zeros(cap, jnp.int32)
+        buf = jnp.zeros(enc_cap, jnp.int32)
         cursor = jnp.int32(0)
         cursors = []
-        for st, fr in reversed(slice_sf):
-            buf, cursor, states = rd.rans_encode_slice(
-                st, fr, states, cursor, buf, self.N)
-            cursors.append(cursor)
+        rev = list(reversed(slice_sf))
+        for i in range(0, len(rev), 9):
+            grp = rev[i:i + 9]
+            buf, cursor, states, curs = rd.rans_encode_group(
+                tuple(st for st, _ in grp), tuple(fr for _, fr in grp),
+                states, cursor, buf, self.N)
+            cursors.extend(curs)
         cursors_np, states_np = jax.device_get((cursors, states))
         total = int(cursors_np[-1])
         bucket = min(cap, -(-max(1, total) // 65536) * 65536)
@@ -389,7 +474,7 @@ class Codec:
         return streams
 
     def _decompress_device(self, streams, S, minmax, pad_flags, raw):
-        cfg = self.cfg
+        ranges = self._ranges(minmax)
         blob = streams[1][0]
         states_np, words_np = rd.unpack_stream(blob, self.N)
         states = jnp.asarray(states_np, jnp.uint32)
@@ -399,31 +484,23 @@ class Codec:
         up = -(-max(1, words_np.size) // 16384) * 16384
         w_small = jnp.asarray(
             np.pad(words_np.astype(np.uint16), (0, up - words_np.size)))
-        S_ = S
-        lh = raw.shape[1]
-        lw = raw.shape[2]
-        cap = self._words_cap(S_, lh, lw, pad_flags)
+        cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
         words = self._pad_words(w_small, cap)
         offset = jnp.int32(0)
+        one = jnp.int32(1)
         y_lev = self._init_scale(jnp.asarray(raw))
         for scl in range(S - 1, -1, -1):
             if scl != S - 1:
                 y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
                                          int(pad_flags[scl + 1][1]))
             padH, padW = pad_flags[scl]
-            h, w = y_lev.shape[1], y_lev.shape[2]
             for b in range(3):
-                pmap = self._band_params(self.params, y_lev, scl, b)
-                ch, cw = band_coded_shape(h, w, b, padH, padW)
-                for clr in range(3):
-                    minv, maxv = self._clr_range(clr, minmax)
-                    cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
-                    y_lev, states, offset = self._decode_step(
-                        cum, words, states, offset, y_lev,
-                        b, clr, padH, padW, ch, cw, self.N, minv)
-        y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
-                                 int(pad_flags[0][1]))
-        return np.asarray(jax.device_get(self._postprocess(y_3ch)))
+                y_lev, states, offset, _sf = self._scale_band(
+                    self.params, y_lev, words, states, offset, one,
+                    scl, b, padH, padW, ranges, self.N)
+        out = self._postprocess(y_lev, int(pad_flags[0][0]),
+                                int(pad_flags[0][1]))
+        return np.asarray(jax.device_get(out))
 
     # ---- host backend --------------------------------------------------
     def _compress_host(self, streams, y_list, minmax, pad_flags):
@@ -474,9 +551,9 @@ class Codec:
                     syms = jnp.asarray(syms.astype(np.int32))
                     y_lev = self._writeback(y_lev, b, clr, padH, padW,
                                             ch, cw, syms, minv)
-        y_3ch = interleave_scale(y_lev, 3, int(pad_flags[0][0]),
-                                 int(pad_flags[0][1]))
-        return np.asarray(jax.device_get(self._postprocess(y_3ch)))
+        out = self._postprocess(y_lev, int(pad_flags[0][0]),
+                                int(pad_flags[0][1]))
+        return np.asarray(jax.device_get(out))
 
     # ------------------------------------------------------------------
     def decompress(self, streams: List[List[bytes]]) -> np.ndarray:

@@ -194,6 +194,23 @@ def rans_encode_slice(starts, freqs, states, cursor, buf, num_lanes):
     return rans_encode_body(starts, freqs, states, cursor, buf, num_lanes)
 
 
+@partial(jax.jit, static_argnums=(5,), donate_argnums=(4,))
+def rans_encode_group(starts_seq, freqs_seq, states, cursor, buf, num_lanes):
+    """Encode a group of slices (already in encode order) in ONE program.
+
+    starts_seq/freqs_seq: tuples of per-slice arrays.  Integer-only, so
+    fusing slices has no float-determinism hazard; it exists purely to cut
+    per-slice dispatch overhead (one program per scale instead of nine).
+    Returns (buf, cursor, states, per-slice cursors tuple).
+    """
+    cursors = []
+    for st, fr in zip(starts_seq, freqs_seq):
+        buf, cursor, states = rans_encode_body(st, fr, states, cursor, buf,
+                                               num_lanes)
+        cursors.append(cursor)
+    return buf, cursor, states, tuple(cursors)
+
+
 def rans_decode_body(cum, words, states, offset, num_lanes, n):
     """Traceable decode core (call from inside a larger jitted program).
 

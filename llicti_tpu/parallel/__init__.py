@@ -1,3 +1,4 @@
+from .codec_sp import ShardedCodec, make_sp_mesh
 from .distributed import initialize, local_batch_slice
 from .eval import make_sharded_rate_fn
 from .mesh import batch_sharding, make_mesh, replicated
