@@ -49,7 +49,8 @@ def main() -> None:
         print(f"loaded trained bench params ({meta})", file=sys.stderr)
     except FileNotFoundError:
         pass
-    codec = Codec(cfg, params)
+    on_tpu = jax.default_backend() == "tpu"
+    codec = Codec(cfg, params, use_pallas_cdf=on_tpu)
     img = synthetic_image(H, W, seed=42)
 
     # warmup (compile)

@@ -218,13 +218,16 @@ class Codec:
                 minv, maxv = ranges[clr]
                 cum = _cdf_cum(pmap, y_lev, b, clr, minv, maxv)
                 cc = cum[:, :ch_, :cw]
-                # encode-side: gather (start, freq) at the true symbols
-                # (on decode the channel is garbage; clamped + ignored)
+                # encode-side: look up (start, freq) at the true symbols
+                # (on decode the channel is garbage; clamped + ignored).
+                # One-hot masked sums instead of take_along_axis: XLA:TPU
+                # gathers are slow, masked reductions are pure VPU work.
                 yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
                 sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
                 sym = jnp.clip(sym, 0, cum.shape[-1] - 2)[..., None]
-                lo = jnp.take_along_axis(cc, sym, axis=-1)[..., 0]
-                hi = jnp.take_along_axis(cc, sym + 1, axis=-1)[..., 0]
+                iota = jnp.arange(cum.shape[-1], dtype=jnp.int32)
+                lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
+                hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0), axis=-1)
                 sf.append(jnp.pad(lo.reshape(-1), (0, bucket - n)))
                 sf.append(jnp.pad((hi - lo).reshape(-1), (0, bucket - n)))
                 # decode-side: rANS scan under cond (skipped when encoding)

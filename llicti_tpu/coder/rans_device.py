@@ -217,38 +217,48 @@ def rans_decode_body(cum, words, states, offset, num_lanes, n):
     cum: [n, Lp] int32 cumulative tables; words: [W] int32 uint16-valued
     stream; states: [N] uint32; offset: scalar int32 read position.
     Returns (symbols [n] int32, states, new offset).
+
+    Gather-free formulation: XLA:TPU gathers are slow (often lowered to
+    serial loops / one-hot matmuls), so instead of a per-lane binary
+    search each scan step loads its *contiguous* [N, Lp] row block with
+    ``dynamic_slice`` and finds (s, cum[s], cum[s+1]) with masked
+    max/min/sum reductions over Lp — pure VPU work.  The conditional
+    word refill likewise reads a contiguous [N] window and selects by
+    rank with a one-hot compare instead of a gather.
     """
     N = num_lanes
     Lp = cum.shape[1]
     T = -(-n // N)
     pad = T * N - n
     valid = (jnp.arange(T * N) < n).reshape(T, N)
-    # sentinel word so gathers stay in bounds even for zero-word streams
-    words = jnp.concatenate([words, jnp.zeros((1,), words.dtype)])
-    # bit width of the binary search
-    nbits = max(1, int(np.ceil(np.log2(Lp - 1))) if Lp > 2 else 1)
+    if pad:
+        cum = jnp.concatenate(
+            [cum, jnp.broadcast_to(cum[:1], (pad, Lp))], axis=0)
+    # N-word tail so the refill window never runs out of bounds
+    words = jnp.concatenate([words, jnp.zeros((N,), words.dtype)])
+    lane_iota = jnp.arange(N, dtype=jnp.int32)
 
     def step(carry, inp):
         states, offset = carry
         t, val = inp
-        idx = t * N + jnp.arange(N)
-        idx = jnp.minimum(idx, n - 1)
+        block = jax.lax.dynamic_slice(cum, (t * N, 0), (N, Lp))
         slot = (states & 0xFFFF).astype(jnp.int32)
-        # branchless binary search: largest s with cum[idx, s] <= slot
-        s = jnp.zeros(N, jnp.int32)
-        width = 1 << nbits
-        for _ in range(nbits):
-            width >>= 1
-            probe = jnp.minimum(s + width, Lp - 2)
-            v = cum[idx, probe]
-            s = jnp.where(v <= slot, probe, s)
-        start = _u32(cum[idx, s])
-        freq = _u32(cum[idx, s + 1] - cum[idx, s])
+        # largest s with cum[s] <= slot: cum rows are strictly increasing
+        # with cum[0] == 0 and cum[Lp-1] == 2^16 > slot, so the masked
+        # reductions below are always well-defined
+        le = block <= slot[:, None]
+        start32 = jnp.max(jnp.where(le, block, 0), axis=1)
+        nxt32 = jnp.min(jnp.where(le, 1 << 16, block), axis=1)
+        s = jnp.sum(le.astype(jnp.int32), axis=1) - 1
+        start = _u32(start32)
+        freq = _u32(nxt32 - start32)
         x = freq * (states >> 16) + _u32(slot) - start
         need = jnp.logical_and(val, x < RANS_L)
         # lane l reads the (#needing lanes with index < l)-th next word
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
-        w = _u32(words[jnp.minimum(offset + rank, words.shape[0] - 1)])
+        win = jax.lax.dynamic_slice(words, (offset,), (N,))
+        w = _u32(jnp.sum(jnp.where(rank[:, None] == lane_iota[None, :],
+                                   win[None, :], 0), axis=1))
         x = jnp.where(need, (x << 16) | w, x)
         states = jnp.where(val, x, states)
         offset = offset + jnp.sum(need.astype(jnp.int32))
