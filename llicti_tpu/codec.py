@@ -218,18 +218,29 @@ class Codec:
                 minv, maxv = ranges[clr]
                 cum = _cdf_cum(pmap, y_lev, b, clr, minv, maxv)
                 cc = cum[:, :ch_, :cw]
-                # encode-side: look up (start, freq) at the true symbols
-                # (on decode the channel is garbage; clamped + ignored).
-                # One-hot masked sums instead of take_along_axis: XLA:TPU
-                # gathers are slow, masked reductions are pure VPU work.
-                yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
-                sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
-                sym = jnp.clip(sym, 0, cum.shape[-1] - 2)[..., None]
-                iota = jnp.arange(cum.shape[-1], dtype=jnp.int32)
-                lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
-                hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0), axis=-1)
-                sf.append(jnp.pad(lo.reshape(-1), (0, bucket - n)))
-                sf.append(jnp.pad((hi - lo).reshape(-1), (0, bucket - n)))
+                # encode-side: look up (start, freq) at the true symbols,
+                # via one-hot masked sums instead of take_along_axis
+                # (XLA:TPU gathers are slow; masked reductions are pure
+                # VPU work).  Skipped under cond when decoding — two full
+                # passes over the CDF table saved per slice.
+                def enc_sf(cc, b=b, clr=clr, minv=minv, ch_=ch_, cw=cw,
+                           n=n, bucket=bucket):
+                    yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
+                    sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
+                    sym = jnp.clip(sym, 0, cc.shape[-1] - 2)[..., None]
+                    iota = jnp.arange(cc.shape[-1], dtype=jnp.int32)
+                    lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
+                    hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0), axis=-1)
+                    return (jnp.pad(lo.reshape(-1), (0, bucket - n)),
+                            jnp.pad((hi - lo).reshape(-1), (0, bucket - n)))
+
+                def no_sf(cc, bucket=bucket):
+                    z = jnp.zeros((bucket,), jnp.int32)
+                    return z, z
+
+                st_arr, fr_arr = jax.lax.cond(on, no_sf, enc_sf, cc)
+                sf.append(st_arr)
+                sf.append(fr_arr)
                 # decode-side: rANS scan under cond (skipped when encoding)
                 cum2 = cc.reshape(n, -1)
 
@@ -501,9 +512,8 @@ class Codec:
                 y_lev, states, offset, _sf = self._scale_band(
                     self.params, y_lev, words, states, offset, one,
                     scl, b, padH, padW, ranges, self.N)
-        out = self._postprocess(y_lev, int(pad_flags[0][0]),
-                                int(pad_flags[0][1]))
-        return np.asarray(jax.device_get(out))
+        return self._postprocess(y_lev, int(pad_flags[0][0]),
+                                 int(pad_flags[0][1]))
 
     # ---- host backend --------------------------------------------------
     def _compress_host(self, streams, y_list, minmax, pad_flags):
@@ -559,8 +569,14 @@ class Codec:
         return np.asarray(jax.device_get(out))
 
     # ------------------------------------------------------------------
-    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
-        """Decode a bitstream list back to [1, H, W, 3] uint8 RGB."""
+    def decompress_dispatch(self, streams: List[List[bytes]]):
+        """Enqueue one image's decode; returns the on-device uint8 array.
+
+        Dispatches are async, so several images' decodes can be enqueued
+        back-to-back and fetched together — uploads, device compute, and
+        read-backs of different images overlap (pipelined serving path).
+        Host-backend streams fall back to the synchronous path.
+        """
         cfg = self.cfg
         S = int(np.frombuffer(streams[0][0][:1], np.uint8)[0])
         assert S == cfg.num_scales
@@ -574,6 +590,15 @@ class Codec:
         if len(streams) == 2 and len(streams[1]) == 1:
             return self._decompress_device(streams, S, minmax, pad_flags, raw)
         return self._decompress_host(streams, S, minmax, pad_flags, raw)
+
+    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
+        """Decode a bitstream list back to [1, H, W, 3] uint8 RGB."""
+        return np.asarray(jax.device_get(self.decompress_dispatch(streams)))
+
+    def decompress_many(self, streams_list) -> List[np.ndarray]:
+        """Pipelined decode of several images: enqueue all, sync once."""
+        outs = [self.decompress_dispatch(s) for s in streams_list]
+        return [np.asarray(o) for o in jax.device_get(outs)]
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -82,6 +82,7 @@ class ShardedCodec:
         self.mesh = mesh if mesh is not None else make_sp_mesh()
         self.G = self.mesh.devices.size
         self.N = num_lanes
+        self.last_slice_bits = None  # per-slice breakdown (single-chip only)
         self.model = LLICTIModel(cfg=cfg)
         M = cfg.num_mixtures
         mesh_ = self.mesh

@@ -244,9 +244,18 @@ class Trainer:
 
     def eval_model(self):
         """Real codec round-trip over the test set (reference
-        llicti_agent.py:122-164)."""
+        llicti_agent.py:122-164).  With a multi-device mesh, uses the
+        spatially-sharded codec (per-shard rANS streams, GSPMD halos)."""
         lanes = 512 if jax.default_backend() == "tpu" else 64
-        codec = Codec(self.config.model, self.state.params, num_lanes=lanes)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.codec_sp import ShardedCodec, make_sp_mesh
+
+            sp = make_sp_mesh(devices=self.mesh.devices.flatten())
+            codec = ShardedCodec(self.config.model, self.state.params,
+                                 mesh=sp, num_lanes=max(32, lanes // sp.devices.size))
+        else:
+            codec = Codec(self.config.model, self.state.params,
+                          num_lanes=lanes)
         results = []
         for idx, img in enumerate(self.test_loader.iter_uint8()):
             t0 = time.time()
@@ -260,6 +269,7 @@ class Trainer:
             ok = np.array_equal(out[0], img)
             numel = img.size
             hdr_row = [len(s) * 8 / numel * 3 for s in streams[0]]
+            hdr_row = (hdr_row + [0.0] * 9)[:9]  # sharded header has 3 parts
             slice_rows = [[b / numel * 3 for b in row]
                           for row in (codec.last_slice_bits or [])]
             self.test_logger(np.asarray([hdr_row] + slice_rows))
