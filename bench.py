@@ -81,9 +81,14 @@ def main() -> None:
     t0 = time.time()
     outs = codec.decompress_many([streams] * n_pipe)
     pipe_t = (time.time() - t0) / n_pipe
+    t0 = time.time()
+    streams_list = codec.compress_many([img] * n_pipe)
+    enc_pipe_t = (time.time() - t0) / n_pipe
     if profile_dir:
         jax.profiler.stop_trace()
-    ok = ok and all(np.array_equal(o[0], img) for o in outs)
+    ok = (ok and all(np.array_equal(o[0], img) for o in outs)
+          and all(Codec.num_bytes(s) == Codec.num_bytes(streams)
+                  for s in streams_list))
 
     mp = H * W / 1e6
     bpsp = Codec.num_bytes(streams) * 8 / img.size
@@ -92,6 +97,8 @@ def main() -> None:
 
     print(
         f"encode {mp/enc_t:.2f} MP/s ({enc_t*1000:.0f} ms) | "
+        f"encode pipelined {mp/enc_pipe_t:.2f} MP/s "
+        f"({enc_pipe_t*1000:.0f} ms/img) | "
         f"decode latency {mp/dec_t:.2f} MP/s ({dec_t*1000:.0f} ms) | "
         f"decode pipelined {dec_mps:.2f} MP/s ({pipe_t*1000:.0f} ms/img) | "
         f"bpsp {bpsp:.3f} | lossless={ok} | device={jax.devices()[0]}",

@@ -264,8 +264,10 @@ class Codec:
             return y_lev, states, offset, tuple(sf)
 
         # ---- front end (encode): one program per image shape -------------
+        # input is uint8 (1 B/subpixel on the host link); int cast on device
         @partial(jax.jit, static_argnums=(1,))
-        def front_fn(rgb_int, levels):
+        def front_fn(rgb_u8, levels):
+            rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
             mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
                   jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
@@ -396,7 +398,7 @@ class Codec:
         pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
         S = cfg.num_scales
 
-        y_list, mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.int32)),
+        y_list, mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.uint8)),
                                           cfg.dwtlevels)
         # one host sync for min/max + the raw header band together
         mm_np, x00_np = jax.device_get((mm, x00_raw))
@@ -427,7 +429,9 @@ class Codec:
     def _ranges(self, minmax):
         return tuple(self._clr_range(clr, minmax) for clr in range(3))
 
-    def _compress_device(self, streams, y_list, minmax, pad_flags):
+    def _encode_dispatch(self, y_list, minmax, pad_flags):
+        """Enqueue one image's encode; returns device handles only (no
+        host sync), so several images' encodes can be pipelined."""
         cfg = self.cfg
         S = cfg.num_scales
         ranges = self._ranges(minmax)
@@ -469,11 +473,14 @@ class Codec:
                 tuple(st for st, _ in grp), tuple(fr for _, fr in grp),
                 states, cursor, buf, self.N)
             cursors.extend(curs)
-        cursors_np, states_np = jax.device_get((cursors, states))
+        return slice_meta, cursors, states, buf
+
+    def _encode_finalize(self, streams, slice_meta, cursors_np, states_np,
+                         packed_np):
+        S = self.cfg.num_scales
         total = int(cursors_np[-1])
-        bucket = min(cap, -(-max(1, total) // 65536) * 65536)
-        packed = np.asarray(jax.device_get(buf[:bucket]))[:total]
-        blob = rd.pack_stream_packed(packed, np.asarray(states_np))
+        blob = rd.pack_stream_packed(np.asarray(packed_np)[:total],
+                                     np.asarray(states_np))
         streams.append([blob])
         # per-slice word counts (encode order cursors -> decode order bits)
         counts = np.diff(np.concatenate([[0], cursors_np])).astype(int)
@@ -486,6 +493,59 @@ class Codec:
             for scl in range(S - 1, -1, -1)
         ]
         return streams
+
+    def _compress_device(self, streams, y_list, minmax, pad_flags):
+        slice_meta, cursors, states, buf = self._encode_dispatch(
+            y_list, minmax, pad_flags)
+        cursors_np, states_np = jax.device_get((cursors, states))
+        total = int(cursors_np[-1])
+        bucket = min(buf.shape[0], -(-max(1, total) // 65536) * 65536)
+        packed = np.asarray(jax.device_get(buf[:bucket]))
+        return self._encode_finalize(streams, slice_meta, cursors_np,
+                                     states_np, packed)
+
+    def compress_many(self, imgs) -> List[List[List[bytes]]]:
+        """Pipelined encode of several images (device backend): all front
+        transforms dispatch first (uploads overlap), then all slice/chain
+        programs, with one host sync per stage instead of three per image."""
+        cfg = self.cfg
+        S = cfg.num_scales
+        stage1 = []
+        for rgb in imgs:
+            if rgb.ndim == 3:
+                rgb = rgb[None]
+            H, W = rgb.shape[1], rgb.shape[2]
+            pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
+            y_list, mm, x00_raw = self._front(
+                jnp.asarray(rgb.astype(np.uint8)), cfg.dwtlevels)
+            stage1.append((y_list, mm, x00_raw, pad_flags, pad_int))
+        mms = jax.device_get([(s[1], s[2]) for s in stage1])
+        stage2 = []
+        for (y_list, _, _, pad_flags, pad_int), (mm_np, x00_np) in zip(
+                stage1, mms):
+            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
+            minmax = [0, min_co, min_cg, 255, max_co, max_cg]
+            last_h = y_list[S - 1].shape[1]
+            last_w = y_list[S - 1].shape[2]
+            streams = [self._header_group(S, last_h, last_w, minmax,
+                                          pad_int, np.asarray(x00_np).tobytes())]
+            meta, cursors, states, buf = self._encode_dispatch(
+                y_list, minmax, pad_flags)
+            stage2.append((streams, meta, cursors, states, buf))
+        got = jax.device_get([(s[2], s[3]) for s in stage2])
+        bufs = []
+        for (streams, meta, _c, _s, buf), (cursors_np, _states) in zip(
+                stage2, got):
+            total = int(cursors_np[-1])
+            bucket = min(buf.shape[0], -(-max(1, total) // 65536) * 65536)
+            bufs.append(buf[:bucket])
+        packed_all = jax.device_get(bufs)
+        out = []
+        for (streams, meta, _c, _s, _b), (cursors_np, states_np), packed in (
+                zip(stage2, got, packed_all)):
+            out.append(self._encode_finalize(streams, meta, cursors_np,
+                                             states_np, packed))
+        return out
 
     def _decompress_device(self, streams, S, minmax, pad_flags, raw):
         ranges = self._ranges(minmax)

@@ -126,9 +126,10 @@ class ShardedCodec:
 
         # ---- front end (encode) ------------------------------------------
         @partial(jax.jit, static_argnums=(1,), in_shardings=(sh_img,))
-        def front_fn(rgb_int, levels):
+        def front_fn(rgb_u8, levels):
             from ..ops.wavelet import lazy_dwt
 
+            rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
             mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
                   jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
@@ -285,7 +286,7 @@ class ShardedCodec:
                      mode="edge")
         S = cfg.num_scales
 
-        x_dev = jax.device_put(rgb.astype(np.int32), self.sh_img)
+        x_dev = jax.device_put(rgb.astype(np.uint8), self.sh_img)
         y_list, mm, x00_raw = self._front(x_dev, cfg.dwtlevels)
         mm_np, x00_np = jax.device_get((mm, x00_raw))
         min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)

@@ -154,3 +154,20 @@ def test_three_scale_roundtrip():
     streams = codec.compress(img)
     out = codec.decompress(streams)
     np.testing.assert_array_equal(out[0], img)
+
+
+def test_pipelined_many_roundtrip():
+    """compress_many/decompress_many pipeline == per-image results."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(32, 32, seed=s) for s in (1, 2, 3)]
+    singles = [codec.compress(im) for im in imgs]
+    manys = codec.compress_many(imgs)
+    for s1, s2 in zip(singles, manys):
+        assert [len(x) for g in s1 for x in g] == [
+            len(x) for g in s2 for x in g]
+        assert all(a == b for g1, g2 in zip(s1, s2)
+                   for a, b in zip(g1, g2))
+    outs = codec.decompress_many(manys)
+    for im, out in zip(imgs, outs):
+        assert np.array_equal(out[0], im)
