@@ -104,6 +104,10 @@ class Codec:
         assert cfg.distribution in ("normal", "logistic")
         assert cfg.num_mixtures > 1
         assert cfg.ycocg, "codec path requires ycocg=True"
+        assert not cfg.subtract_mean, (
+            "subtract_mean is a training/rate-estimation variant; the "
+            "codec path does not code it (reference get_params likewise, "
+            "LLICTI_nets.py:820-825)")
         assert backend in ("device", "host")
         self.cfg = cfg
         self.params = params

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import ModelConfig
 from ..ops.gdn import GDN1
@@ -45,6 +46,14 @@ def _torch_bias_init(fan_in: int):
 def _pad_edge(x, pad_lrtb):
     l, r, t, b = pad_lrtb
     return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+
+
+def _box_mean(x_padded, kh: int, kw: int) -> jnp.ndarray:
+    """Frozen box-filter local mean (reference's _get_mean_filters,
+    LLICTI_nets.py:714-719) as a VALID reduce_window — no parameters."""
+    s = lax.reduce_window(x_padded, 0.0, lax.add, (1, kh, kw, 1),
+                          (1, 1, 1, 1), "VALID")
+    return s / (kh * kw)
 
 
 class _Conv(nn.Module):
@@ -180,6 +189,44 @@ class Interpolator(nn.Module):
         self.trunk = trunk
 
     # --- layer 0 -----------------------------------------------------------
+    def _quant(self, x):
+        r = self.cfg.rndfactor
+        return jnp.round(x * r) / r
+
+    def _layer0_submean(self, y_cond):
+        """DC-removal variant: subtract the quantized box-filter local mean
+        of each conditioning band before its layer-0 conv, and return the
+        (quantized) averaged mean to re-bias the predicted variable.
+
+        The reference's subtract_mean branch (LLICTI_nets.py:755-800) is
+        vestigial/dead there (it calls a method that no longer exists);
+        this is a working re-design of the same idea.
+        """
+        c = self.c
+        n_units = y_cond.shape[-1] // c
+        band = self.band if self.band != -1 else (n_units - 1)
+        if band == 0:
+            specs = [((0, c), self.conv_00_11, self.pad_00_11)]
+        elif band == 1:
+            specs = [((0, c), self.conv_00_01, self.pad_00_01),
+                     ((c, 2 * c), self.conv_11_01, self.pad_11_01)]
+        else:
+            specs = [((0, c), self.conv_00_10, self.pad_00_10),
+                     ((c, 2 * c), self.conv_11_10, self.pad_11_10),
+                     ((2 * c, 3 * c), self.conv_01_10, self.pad_01_10)]
+        out = None
+        mean_sum = None
+        for (lo, hi), conv, pad in specs:
+            xb = y_cond[..., lo:hi]
+            kh, kw = conv.kernel
+            mn = _box_mean(_pad_edge(xb, pad), kh, kw)
+            mnq = self._quant(mn)
+            o = conv(_pad_edge(xb - mnq, pad))
+            out = o if out is None else out + o
+            mean_sum = mn if mean_sum is None else mean_sum + mn
+        mean = self._quant(mean_sum / len(specs))
+        return out, mean
+
     def _layer0(self, y_cond, y_topred=None):
         c = self.c
         n_units = y_cond.shape[-1] // c
@@ -213,11 +260,19 @@ class Interpolator(nn.Module):
 
     # --- public API --------------------------------------------------------
     def get_params(self, y_cond, y_topred=None):
-        """NN forward: conditioning bands -> GMM parameter map [B,H,W,Co]."""
+        """NN forward: conditioning bands -> GMM parameter map [B,H,W,Co].
+
+        Codec path; assumes subtract_mean is off (as the reference's
+        get_params does, LLICTI_nets.py:820-825)."""
+        assert not self.cfg.subtract_mean
         return self._trunk(self._layer0(y_cond, y_topred))
 
     def __call__(self, y_cond, y_topred):
         """Training forward: self-information map [B,H,W,c]."""
+        if self.cfg.subtract_mean:
+            out, mean = self._layer0_submean(y_cond)
+            params = self._trunk(self.act0(out))
+            return self.self_informations(params, y_topred - mean)
         seq = (
             self.cfg.clrchs == 3
             and self.cfg.clr_joint_mode == 0

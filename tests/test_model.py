@@ -140,3 +140,30 @@ def test_gradients_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_subtract_mean_variant_trains():
+    """DC-removal variant (reference's subtract_mean knob is dead code
+    there — LLICTI_nets.py:817 calls a method that no longer exists; our
+    re-design actually runs): forward + grads finite, rate reasonable."""
+    cfg = ModelConfig(chs=(8, 1), evens=(4, 4), odds=(3, 3),
+                      dwtlevels=(0, 1), useprevlevNN=(False, True),
+                      subtract_mean=True)
+    model = LLICTIModel(cfg=cfg)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        si = model.apply(p, x)
+        return sum(jnp.sum(s) for s in si) / x.size / 3
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+    # codec path refuses subtract_mean (as the reference's get_params does)
+    from llicti_tpu.codec import Codec
+
+    with pytest.raises(AssertionError):
+        Codec(cfg, params)
