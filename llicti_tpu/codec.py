@@ -97,10 +97,13 @@ class Codec:
                  use_pallas_cdf: bool = False):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2), (
             "codec path requires clrchs=3 (reference codes only clrjnt=2; "
-            "clrjnt 0/1 coding is an extension beyond the reference)")
-        assert not (cfg.clr_joint_mode == 0 and cfg.clrjnt0seqmd), (
-            "clrjnt0seqmd conditions band params on the current pixel's "
-            "earlier colors; not supported by the codec path")
+            "clrjnt 0/1 + seqmd coding are extensions beyond the reference)")
+        seqmd = cfg.clr_joint_mode == 0 and cfg.clrjnt0seqmd
+        if seqmd:
+            assert backend == "device", "seqmd codes via the device backend"
+            assert cfg.activfun != "GDN1", (
+                "GDN1 couples channel groups; seqmd coding needs an "
+                "elementwise activation for per-color causality")
         assert cfg.distribution in ("normal", "logistic")
         assert cfg.num_mixtures > 1
         assert cfg.ycocg, "codec path requires ycocg=True"
@@ -210,8 +213,13 @@ class Codec:
         @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
         def scale_band_fn(params_, y_lev, words, states, offset, enable,
                           scl, b, padH, padW, ranges, num_lanes):
-            pmap = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
-                                    scl, b, method=LLICTIModel.band_params)
+            if seqmd:
+                base = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
+                                        scl, b, method=LLICTIModel.band_base)
+            else:
+                pmap = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
+                                        scl, b,
+                                        method=LLICTIModel.band_params)
             h, w = y_lev.shape[1], y_lev.shape[2]
             ch_, cw = band_coded_shape(h, w, b, padH, padW)
             n = ch_ * cw
@@ -219,6 +227,13 @@ class Codec:
             sf = []
             on = enable > 0
             for clr in range(3):
+                if seqmd:
+                    # per-color params: the current pixel's earlier
+                    # (decoded) colors feed this color's channel groups
+                    y_seq = y_lev[..., sym_ch(b, 0):sym_ch(b, 0) + 2]
+                    pmap = self.model.apply(
+                        params_, base, y_seq, scl, b, clr,
+                        method=LLICTIModel.band_params_seq)
                 minv, maxv = ranges[clr]
                 cum = _cdf_cum(pmap, y_lev, b, clr, minv, maxv)
                 cc = cum[:, :ch_, :cw]

@@ -227,7 +227,8 @@ class Interpolator(nn.Module):
         mean = self._quant(mean_sum / len(specs))
         return out, mean
 
-    def _layer0(self, y_cond, y_topred=None):
+    def _layer0_convs(self, y_cond):
+        """Band-geometry conv sum (pre-activation, pre-seq)."""
         c = self.c
         n_units = y_cond.shape[-1] // c
         band = self.band if self.band != -1 else (n_units - 1)
@@ -242,16 +243,30 @@ class Interpolator(nn.Module):
             out = out + self.conv_01_10(_pad_edge(y_cond[..., 2 * c:3 * c], self.pad_01_10))
         else:
             raise ValueError(f"bad band {band}")
+        return out
+
+    def _layer0(self, y_cond, y_topred=None):
+        out = self._layer0_convs(y_cond)
         if (
             self.cfg.clrchs == 3
             and self.cfg.clr_joint_mode == 0
             and self.cfg.clrjnt0seqmd
             and y_topred is not None
         ):
-            K = out.shape[-1] // 9
-            out = out.at[..., 3 * K:6 * K].add(self.seq_toCo(y_topred[..., 0:1]))
-            out = out.at[..., 6 * K:9 * K].add(self.seq_toCg(y_topred[..., 0:2]))
+            out = self._apply_seq(out, y_topred, upto_clr=2)
         return self.act0(out)
+
+    def _apply_seq(self, base, y_seq, upto_clr: int):
+        """Sequential-color layer-0 additions (reference :655-657,
+        666-668, 680-682): the *current* pixel's earlier colors feed the
+        later colors' channel groups.  Group-local, so color i's trunk
+        output depends only on colors < i (causal for the codec)."""
+        K = base.shape[-1] // 9
+        if upto_clr >= 1:
+            base = base.at[..., 3 * K:6 * K].add(self.seq_toCo(y_seq[..., 0:1]))
+        if upto_clr >= 2:
+            base = base.at[..., 6 * K:9 * K].add(self.seq_toCg(y_seq[..., 0:2]))
+        return base
 
     def _trunk(self, h):
         for layer in self.trunk:
@@ -266,6 +281,18 @@ class Interpolator(nn.Module):
         get_params does, LLICTI_nets.py:820-825)."""
         assert not self.cfg.subtract_mean
         return self._trunk(self._layer0(y_cond, y_topred))
+
+    def band_base(self, y_cond):
+        """Codec path for clrjnt0seqmd: pre-activation layer-0 sum."""
+        return self._layer0_convs(y_cond)
+
+    def params_from_base(self, base, y_seq, clr: int):
+        """Codec path for clrjnt0seqmd: apply the seq additions causal up
+        to color ``clr``, then activation + trunk.  Requires an
+        elementwise activation (GDN1 couples channel groups and would
+        break the per-color causality)."""
+        assert self.cfg.activfun != "GDN1"
+        return self._trunk(self.act0(self._apply_seq(base, y_seq, clr)))
 
     def __call__(self, y_cond, y_topred):
         """Training forward: self-information map [B,H,W,c]."""

@@ -101,9 +101,20 @@ class LLICTIModel(nn.Module):
         return self.entropy_forward(self.transform(x))
 
     # --- codec-path entry points (used via .apply with method=...) ---------
-    def band_params(self, y_cond: jnp.ndarray, scale: int, band: int) -> jnp.ndarray:
-        """GMM parameter map for one (scale, band) from conditioning bands."""
+    def _band_model(self, scale: int, band: int):
         cfg = self.cfg
         bands = self.models[cfg.model_index[scale]]
-        mdl = bands[0] if cfg.combine_layers1toL else bands[band]
-        return mdl.get_params(y_cond)
+        return bands[0] if cfg.combine_layers1toL else bands[band]
+
+    def band_params(self, y_cond: jnp.ndarray, scale: int, band: int) -> jnp.ndarray:
+        """GMM parameter map for one (scale, band) from conditioning bands."""
+        return self._band_model(scale, band).get_params(y_cond)
+
+    def band_base(self, y_cond: jnp.ndarray, scale: int, band: int) -> jnp.ndarray:
+        """Pre-activation layer-0 map (clrjnt0seqmd codec path)."""
+        return self._band_model(scale, band).band_base(y_cond)
+
+    def band_params_seq(self, base: jnp.ndarray, y_seq: jnp.ndarray,
+                        scale: int, band: int, clr: int) -> jnp.ndarray:
+        """Per-color GMM params from a layer-0 base (clrjnt0seqmd)."""
+        return self._band_model(scale, band).params_from_base(base, y_seq, clr)

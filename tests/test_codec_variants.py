@@ -53,7 +53,18 @@ def test_roundtrip_logistic_clrjnt1():
     assert np.array_equal(out[0], img)
 
 
-def test_clrjnt0seqmd_rejected():
+def test_roundtrip_clrjnt0_seqmd():
+    """Sequential-color conditioning now entropy-codes (device backend):
+    per-color band params recomputed causally inside the fused program."""
+    cfg = small_cfg(clr_joint_mode=0, clrjnt0seqmd=True)
+    codec = make_codec(cfg)
+    img = natural_image(32, 36, seed=13)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert np.array_equal(out[0], img)
+
+
+def test_clrjnt0seqmd_host_backend_rejected():
     cfg = small_cfg(clr_joint_mode=0, clrjnt0seqmd=True)
     with pytest.raises(AssertionError):
-        make_codec(cfg)
+        make_codec(cfg, backend="host")
