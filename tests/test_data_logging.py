@@ -121,3 +121,38 @@ def test_notifier_event_log(tmp_path):
     with open(log) as f:
         ev = json.loads(f.readline())
     assert ev["subject"] == "done"
+
+
+def test_reference_config_files_parse():
+    """The reference's shipped JSON configs load mechanically and build
+    the paper model (SURVEY.md §2 row 17)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from llicti_tpu.config import config_from_json
+    from llicti_tpu.models.llicti import LLICTIModel
+
+    path = "/root/reference/configs/llicti_A.json"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    cfg = config_from_json(path)
+    assert cfg.model.num_scales == 5
+    assert cfg.model.chs[0] == 88
+    assert cfg.model.num_mixtures == 5
+    assert cfg.model.clr_joint_mode == 2
+    assert cfg.train.batch_size == 32
+    assert cfg.train.grad_acc_iters == 2
+    assert cfg.mode == "eval_model"
+    model = LLICTIModel(cfg=cfg.model)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    n = sum(int(p.size) for p in jax.tree.leaves(params))
+    assert n == 196596  # the logged "0.750MB"
+
+    cfg_b = config_from_json("/root/reference/configs/llicti_B.json")
+    assert cfg_b.mode == "train"
+    assert cfg_b.train.resume_training is True
+    assert cfg_b.model.num_scales == 2
