@@ -12,7 +12,9 @@ agents/llicti_agent.py:14-207):
 """
 from __future__ import annotations
 
+import json
 import logging
+import os
 import time
 from typing import Optional
 
@@ -284,6 +286,19 @@ class Trainer:
             self.logger.info(msg)
             results.append(dict(bpsp=bpsp, enc_t=enc_t, dec_t=dec_t, ok=ok))
         self.test_logger.display(typ="te")
+        # results.json for tools/results_parser.py (reference
+        # experiments/results_parser.py expects rate/dist per exp dir)
+        if results:
+            os.makedirs(self.config.out_dir, exist_ok=True)
+            summary = {
+                "rate": float(np.mean([r["bpsp"] for r in results])),
+                "dist": 0.0,
+                "lossless": bool(all(r["ok"] for r in results)),
+                "per_image": results,
+            }
+            with open(os.path.join(self.config.out_dir,
+                                   "results.json"), "w") as f:
+                json.dump(summary, f, indent=1)
         return results
 
     # --- introspection -----------------------------------------------------
