@@ -93,7 +93,7 @@ def _kernel(states_in, off_in, cum_ref, words_hbm, syms_ref, states_io,
 
     states_io[...] = x.reshape(1, N)
     off_io[0, 0] = off + jnp.sum(need_i)
-    syms_ref[...] = s.reshape(1, N)
+    syms_ref[...] = s.reshape(1, 1, N)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -139,13 +139,15 @@ def rans_decode_pallas(cum, words, states, offset, num_lanes, n):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, N), lambda t: (t, 0)),
+            # (T, 1, N) keeps the per-step block tiling-legal: the last
+            # two block dims (1, N) equal the array dims
+            pl.BlockSpec((1, 1, N), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, N), lambda t: (0, 0)),
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, N), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.uint32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],

@@ -19,14 +19,21 @@ from typing import List, Optional
 
 import numpy as np
 
-_CONFIGURED = False
+_CURRENT_DIR = None
 
 
 def setup_logging(log_dir: str) -> None:
-    global _CONFIGURED
-    if _CONFIGURED:
+    """Install console + rotating-file handlers for ``log_dir``.
+
+    Re-pointable: calling again with a different dir swaps the file
+    handlers, so every sweep value logs into its own experiment dir —
+    the reference's @run_once setup sends all sweep values into the
+    first dir (utils/config.py:24, SURVEY.md §3.5), a quirk we fix.
+    """
+    global _CURRENT_DIR
+    if _CURRENT_DIR == log_dir:
         return
-    _CONFIGURED = True
+    _CURRENT_DIR = log_dir
     os.makedirs(log_dir, exist_ok=True)
     file_fmt = ("[%(levelname)s] - %(asctime)s - %(name)s - : %(message)s "
                 "in %(pathname)s:%(lineno)d")
