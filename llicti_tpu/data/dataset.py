@@ -69,8 +69,71 @@ def synthetic_image(h: int, w: int, seed: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def synthetic_natural_image(h: int, w: int, seed: int) -> np.ndarray:
+    """Multi-octave value-noise image with photographic-like statistics.
+
+    Natural images have ~1/f power spectra, correlated color channels,
+    and sharp edges; sinusoid synthetics (synthetic_image above) have
+    none of these, which is why models trained on them saturate at a
+    noise floor.  This generator sums bilinear-upsampled random grids
+    with geometrically decaying amplitude (the 1/f part), modulates
+    chroma at low amplitude around a shared luma (channel correlation),
+    and overlays a few random step edges (edge content).
+    """
+    rng = np.random.default_rng(seed)
+    n_oct = int(np.log2(min(h, w))) - 1
+
+    def octave_field():
+        acc = np.zeros((h, w), np.float32)
+        amp = 1.0
+        for o in range(n_oct, -1, -1):
+            gh, gw = max(2, h >> o), max(2, w >> o)
+            grid = rng.standard_normal((gh, gw)).astype(np.float32)
+            yi = np.linspace(0, gh - 1, h, dtype=np.float32)
+            xi = np.linspace(0, gw - 1, w, dtype=np.float32)
+            y0 = np.clip(yi.astype(np.int64), 0, gh - 2)
+            x0 = np.clip(xi.astype(np.int64), 0, gw - 2)
+            fy = (yi - y0)[:, None]
+            fx = (xi - x0)[None, :]
+            g = (grid[y0][:, x0] * (1 - fy) * (1 - fx)
+                 + grid[y0 + 1][:, x0] * fy * (1 - fx)
+                 + grid[y0][:, x0 + 1] * (1 - fy) * fx
+                 + grid[y0 + 1][:, x0 + 1] * fy * fx)
+            acc += amp * g
+            amp *= rng.uniform(0.45, 0.65)
+        return acc
+
+    luma = octave_field()
+    luma = (luma - luma.mean()) / (luma.std() + 1e-6)
+    # random step edges from oriented half-planes at multiple strengths
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(int(rng.integers(2, 7))):
+        th = rng.uniform(0, np.pi)
+        d = ((xx - rng.uniform(0, w)) * np.cos(th)
+             + (yy - rng.uniform(0, h)) * np.sin(th))
+        luma += rng.uniform(-0.8, 0.8) * (d > 0)
+    luma = (luma - luma.mean()) / (luma.std() + 1e-6)
+    chroma_u = octave_field()
+    chroma_v = octave_field()
+    base = 110 + rng.uniform(-30, 30)
+    contrast = rng.uniform(28, 60)
+    cu = rng.uniform(3, 18) * chroma_u / (chroma_u.std() + 1e-6)
+    cv = rng.uniform(3, 18) * chroma_v / (chroma_v.std() + 1e-6)
+    r = base + contrast * luma + cu
+    g = base + contrast * luma - 0.5 * cu + 0.5 * cv
+    b = base + contrast * luma - cv
+    img = np.stack([r, g, b], axis=-1)
+    img += rng.normal(0, rng.uniform(0.5, 2.5), img.shape)  # sensor noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 class ImageDataset:
-    """Random-access dataset of [H, W, 3] uint8 images."""
+    """Random-access dataset of [H, W, 3] uint8 images.
+
+    Decoded images are cached in RAM by default (the corpus is tens of
+    images; PNG decode on the 2-vCPU host would otherwise bottleneck the
+    TPU train step).
+    """
 
     def __init__(
         self,
@@ -78,11 +141,16 @@ class ImageDataset:
         synthetic_len: int = 0,
         synthetic_size: int = 256,
         seed: int = 0,
+        cache: bool = True,
+        cache_max_images: int = 2048,
     ):
         self.files = list_images(roots) if roots else []
         self.synthetic_len = synthetic_len
         self.synthetic_size = synthetic_size
         self.seed = seed
+        self._cache: Optional[dict] = (
+            {} if cache and len(self.files) <= cache_max_images else None)
+        self._cache_lock = threading.Lock()
         if not self.files and not synthetic_len:
             raise ValueError("empty dataset: no roots and no synthetic_len")
 
@@ -91,6 +159,14 @@ class ImageDataset:
 
     def get(self, i: int) -> np.ndarray:
         if self.files:
+            if self._cache is not None:
+                with self._cache_lock:
+                    img = self._cache.get(i)
+                if img is None:
+                    img = load_rgb(self.files[i])
+                    with self._cache_lock:
+                        self._cache[i] = img
+                return img
             return load_rgb(self.files[i])
         return synthetic_image(self.synthetic_size, self.synthetic_size,
                                self.seed * 1_000_003 + i)
