@@ -92,9 +92,9 @@ def main() -> None:
         enc_pipe_t = min(enc_pipe_t, (time.time() - t0) / n_pipe)
     if profile_dir:
         jax.profiler.stop_trace()
+    ref_blob = Codec.serialize(streams)
     ok = (ok and all(np.array_equal(o[0], img) for o in outs)
-          and all(Codec.num_bytes(s) == Codec.num_bytes(streams)
-                  for s in streams_list))
+          and all(Codec.serialize(s) == ref_blob for s in streams_list))
 
     mp = H * W / 1e6
     bpsp = Codec.num_bytes(streams) * 8 / img.size

@@ -85,10 +85,13 @@ def main(argv=None) -> int:
             from PIL import Image
 
             Image.fromarray(out[0]).save(args.out)
+            written = args.out
         except ImportError:
-            np.save(args.out + ".npy", out[0])
+            written = args.out + ".npy"
+            np.save(written, out[0])
         print(f"{args.inp}: -> {out.shape[1]}x{out.shape[2]} "
-              f"in {time.time()-t0:.2f}s", file=sys.stderr)
+              f"written to {written} in {time.time()-t0:.2f}s",
+              file=sys.stderr)
     return 0
 
 

@@ -87,9 +87,12 @@ def pad_flags_for_shape(h: int, w: int, levels: Sequence[int]):
 class Codec:
     """Encoder/decoder around a trained LLICTIModel.
 
-    Supports the reference's live codec configuration (clrchs=3,
-    clr_joint_mode=2, normal GMM — the reference codec supports exactly
-    this subset, LLICTI_nets.py:937-939).
+    Supported configs: clrchs=3 with clr_joint_mode 0/1/2 (incl.
+    clrjnt0seqmd sequential-color conditioning), normal or logistic
+    mixtures.  The reference's coder handles only the clrjnt=2 normal
+    subset (LLICTI_nets.py:937-939); the other modes entropy-code here
+    as extensions.  Not coded (rate-estimation-only knobs, matching the
+    reference): subtract_mean, ycocg=False, clrchs<3.
     """
 
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",

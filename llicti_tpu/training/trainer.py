@@ -258,6 +258,7 @@ class Trainer:
         else:
             codec = Codec(self.config.model, self.state.params,
                           num_lanes=lanes)
+        mult = 2 ** (max(self.config.model.dwtlevels) + 1)
         results = []
         for idx, img in enumerate(self.test_loader.iter_uint8()):
             t0 = time.time()
@@ -268,6 +269,18 @@ class Trainer:
             dec_t = time.time() - t0
             nbytes = Codec.num_bytes(streams)
             bpsp = nbytes * 8 / img.size
+            # estimate-vs-actual cross-check (reference's third
+            # verification leg, rate_dist.py:97-135): the differentiable
+            # rate must track the real coded bits
+            xpad = pad_to_multiple(
+                img[None].astype(np.float32) / 255.0, mult)
+            est_total, _ = self.eval_step(self.state.params,
+                                          jnp.asarray(xpad))
+            est_bits = float(est_total) * xpad.size / 3
+            est_bpsp = est_bits / img.size
+            act_bits = (sum(sum(row) for row in codec.last_slice_bits)
+                        if codec.last_slice_bits else nbytes * 8)
+            gap_pct = (act_bits - est_bits) / max(est_bits, 1) * 100
             ok = np.array_equal(out[0], img)
             numel = img.size
             hdr_row = [len(s) * 8 / numel * 3 for s in streams[0]]
@@ -276,7 +289,9 @@ class Trainer:
                           for row in (codec.last_slice_bits or [])]
             self.test_logger(np.asarray([hdr_row] + slice_rows))
             msg = (f"{idx:3d} {img.shape[0]:3d}x{img.shape[1]:3d} "
-                   f"bpsp= {bpsp:.3f} Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
+                   f"bpsp= {bpsp:.3f} (est {est_bpsp:.3f}, "
+                   f"gap {gap_pct:+.1f}%) "
+                   f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
             if ok:
                 msg += "(Check: Decoded img matches original)"
             else:
@@ -284,7 +299,9 @@ class Trainer:
                 msg += (f"(Error: Decoded img does NOT match original! "
                         f"max abs err {err})")
             self.logger.info(msg)
-            results.append(dict(bpsp=bpsp, enc_t=enc_t, dec_t=dec_t, ok=ok))
+            results.append(dict(bpsp=bpsp, est_bpsp=est_bpsp,
+                                est_gap_pct=gap_pct,
+                                enc_t=enc_t, dec_t=dec_t, ok=ok))
         self.test_logger.display(typ="te")
         # results.json for tools/results_parser.py (reference
         # experiments/results_parser.py expects rate/dist per exp dir)
@@ -292,6 +309,7 @@ class Trainer:
             os.makedirs(self.config.out_dir, exist_ok=True)
             summary = {
                 "rate": float(np.mean([r["bpsp"] for r in results])),
+                "est_rate": float(np.mean([r["est_bpsp"] for r in results])),
                 "dist": 0.0,
                 "lossless": bool(all(r["ok"] for r in results)),
                 "per_image": results,
