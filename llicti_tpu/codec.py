@@ -56,6 +56,54 @@ RANGE_BUCKET = 32
 INV255 = np.float32(1.0 / 255.0)
 
 
+def sym_channel(cfg: ModelConfig, b: int, clr: int) -> int:
+    """Channel of color ``clr`` of band ``b`` inside a y_lev tensor."""
+    c = cfg.cond_channels
+    clr_off = 1 if cfg.clr_joint_mode == 1 else 0
+    return c * (b + 1) + clr_off + clr
+
+
+def gmm_slice_params(cfg: ModelConfig, pmap, y_lev, b: int, clr: int):
+    """Slice one color's mixture params + cross-color mean updates.
+
+    Shared by the single-chip and sharded codecs so both use one
+    implementation of the reference's param channel layouts per
+    clr_joint_mode (LLICTI_nets.py:827-935).
+    """
+    M = cfg.num_mixtures
+    if cfg.clr_joint_mode == 0:
+        stdevs = pmap[..., 3 * clr * M:(3 * clr + 1) * M]
+        means = pmap[..., (3 * clr + 1) * M:(3 * clr + 2) * M]
+        weights = pmap[..., (3 * clr + 2) * M:(3 * clr + 3) * M]
+        return stdevs, means, weights
+    if cfg.clr_joint_mode == 1:
+        if clr == 0:  # Y uses 2M mixtures
+            return (pmap[..., 2 * M:4 * M], pmap[..., 4 * M:6 * M],
+                    pmap[..., 6 * M:8 * M])
+        i = clr - 1  # Co, Cg share m-major [8M:10M]... blocks
+        stdevs = pmap[..., (8 + i) * M:(9 + i) * M]
+        means = pmap[..., (10 + i) * M:(11 + i) * M]
+        weights = pmap[..., (12 + i) * M:(13 + i) * M]
+        if clr == 2:  # mean_Cg += a * Co (decoded)
+            ch = sym_channel(cfg, b, 1)
+            y_co = y_lev[..., ch:ch + 1]
+            means = means + pmap[..., 14 * M:15 * M] * y_co
+        return stdevs, means, weights
+    ch0 = sym_channel(cfg, b, 0)
+    ch1 = sym_channel(cfg, b, 1)
+    y0 = y_lev[..., ch0:ch0 + 1]
+    y1 = y_lev[..., ch1:ch1 + 1]
+    stdevs = pmap[..., clr * M:(clr + 1) * M]
+    means = pmap[..., (3 + clr) * M:(3 + clr + 1) * M]
+    weights = pmap[..., (6 + clr) * M:(6 + clr + 1) * M]
+    if clr == 1:
+        means = means + pmap[..., 9 * M:10 * M] * y0
+    elif clr == 2:
+        means = means + (pmap[..., 10 * M:11 * M] * y0
+                         + pmap[..., 11 * M:12 * M] * y1)
+    return stdevs, means, weights
+
+
 def bucket_range(min_val: int, max_val: int) -> Tuple[int, int]:
     """Round a symbol range outward to RANGE_BUCKET multiples (keeps the
     jit cache small; the near-zero-probability extra bins cost <0.002
@@ -135,8 +183,7 @@ class Codec:
         self._clr_off = clr_off
 
         def sym_ch(b, clr):
-            """Channel of color ``clr`` of band ``b`` inside y_lev."""
-            return c * (b + 1) + clr_off + clr
+            return sym_channel(cfg, b, clr)
 
         self._sym_ch = sym_ch
 
@@ -162,39 +209,7 @@ class Codec:
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
         def _gmm_params(pmap, y_lev, b, clr):
-            """Slice one color's mixture params + cross-color mean updates.
-
-            Param channel layouts per clr_joint_mode follow the reference
-            (LLICTI_nets.py:827-935; see Interpolator.self_informations).
-            """
-            if cfg.clr_joint_mode == 0:
-                stdevs = pmap[..., 3 * clr * M:(3 * clr + 1) * M]
-                means = pmap[..., (3 * clr + 1) * M:(3 * clr + 2) * M]
-                weights = pmap[..., (3 * clr + 2) * M:(3 * clr + 3) * M]
-                return stdevs, means, weights
-            if cfg.clr_joint_mode == 1:
-                if clr == 0:  # Y uses 2M mixtures
-                    return (pmap[..., 2 * M:4 * M], pmap[..., 4 * M:6 * M],
-                            pmap[..., 6 * M:8 * M])
-                i = clr - 1  # Co, Cg share m-major [8M:10M]... blocks
-                stdevs = pmap[..., (8 + i) * M:(9 + i) * M]
-                means = pmap[..., (10 + i) * M:(11 + i) * M]
-                weights = pmap[..., (12 + i) * M:(13 + i) * M]
-                if clr == 2:  # mean_Cg += a * Co (decoded)
-                    y_co = y_lev[..., sym_ch(b, 1):sym_ch(b, 1) + 1]
-                    means = means + pmap[..., 14 * M:15 * M] * y_co
-                return stdevs, means, weights
-            y0 = y_lev[..., sym_ch(b, 0):sym_ch(b, 0) + 1]
-            y1 = y_lev[..., sym_ch(b, 1):sym_ch(b, 1) + 1]
-            stdevs = pmap[..., clr * M:(clr + 1) * M]
-            means = pmap[..., (3 + clr) * M:(3 + clr + 1) * M]
-            weights = pmap[..., (6 + clr) * M:(6 + clr + 1) * M]
-            if clr == 1:
-                means = means + pmap[..., 9 * M:10 * M] * y0
-            elif clr == 2:
-                means = means + (pmap[..., 10 * M:11 * M] * y0
-                                 + pmap[..., 11 * M:12 * M] * y1)
-            return stdevs, means, weights
+            return gmm_slice_params(cfg, pmap, y_lev, b, clr)
 
         def _cdf_cum(pmap, y_lev, b, clr, minv, maxv):
             """[1,h,w,P] int32 cum table (device-backend contract)."""

@@ -9,10 +9,18 @@ automatically.  The reference has no distributed codec at all
 (single-GPU, graphs/models/LLICTI_nets.py:344-509); this is the
 spatial/context-parallel analog built for a TPU mesh.
 
-Bit-exactness across encode/decode holds for the same reason as the
-single-chip codec (llicti_tpu/codec.py): both directions call the same
-jitted programs with identical shapes *and identical shardings*, so XLA
-compiles them once and both sides see the same floats on every device.
+Program structure mirrors the single-chip codec (llicti_tpu/codec.py):
+ONE fused jitted program per (scale, band) runs conv -> 3x(CDF table ->
+per-shard rANS decode -> write-back).  The encoder calls the *same
+executable* with ``enable=0`` — the rANS scans are skipped under
+lax.cond and per-shard per-symbol (start, freq) pairs come out for the
+encoder's chain — so encoder and decoder compute every CDF in the same
+compiled program with identical shardings: bit-exactness by
+construction.  Decode needs ~4 dispatches per scale; encode chains each
+scale's 9 slices in one grouped per-shard rANS program.
+
+Supported model subset = the single-chip Codec's: clrchs=3 with
+clr_joint_mode 0/1/2 (incl. clrjnt0seqmd), normal or logistic mixtures.
 
 Simplifications vs the single-chip codec:
 * The image is replicate-padded up front so H is a multiple of
@@ -37,11 +45,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..codec import gmm_slice_params, sym_channel
 from ..coder import rans_device as rd
 from ..config import ModelConfig
 from ..models.llicti import LLICTIModel
 from ..ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
 from ..ops.gmm import cdf_sampling_points, gmm_cdf_table
+from ..ops.wavelet import interleave_scale, lazy_dwt
 
 INV255 = np.float32(1.0 / 255.0)
 RANGE_BUCKET = 32
@@ -70,71 +80,194 @@ class ShardedCodec:
 
     Per-shard independent rANS streams; NN/CDF math under GSPMD with
     automatic halo exchange.  Supports the same model subset as the
-    single-chip Codec (clrchs=3, clr_joint_mode=2, normal GMM).
+    single-chip Codec: clrchs=3, clr_joint_mode 0/1/2 (incl.
+    clrjnt0seqmd), normal or logistic mixtures.
     """
+
+    @staticmethod
+    def _check_cfg(cfg: ModelConfig) -> None:
+        assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2)
+        assert cfg.distribution in ("normal", "logistic")
+        assert cfg.num_mixtures > 1
+        assert cfg.ycocg
+        assert not cfg.subtract_mean
+        if cfg.clr_joint_mode == 0 and cfg.clrjnt0seqmd:
+            assert cfg.activfun != "GDN1", (
+                "GDN1 couples channel groups; seqmd coding needs an "
+                "elementwise activation for per-color causality")
+
+    @classmethod
+    def supports(cls, cfg: ModelConfig) -> bool:
+        """True if this codec can entropy-code models with this config."""
+        try:
+            cls._check_cfg(cfg)
+            return True
+        except AssertionError:
+            return False
 
     def __init__(self, cfg: ModelConfig, params, mesh: Optional[Mesh] = None,
                  num_lanes: int = 128):
-        assert cfg.clrchs == 3 and cfg.clr_joint_mode == 2
-        assert cfg.distribution == "normal" and cfg.num_mixtures > 1
-        assert cfg.ycocg
+        self._check_cfg(cfg)
+        seqmd = cfg.clr_joint_mode == 0 and cfg.clrjnt0seqmd
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_sp_mesh()
         self.G = self.mesh.devices.size
         self.N = num_lanes
-        self.last_slice_bits = None  # per-slice breakdown (single-chip only)
+        self.last_slice_bits: Optional[List[List[int]]] = None
         self.model = LLICTIModel(cfg=cfg)
-        M = cfg.num_mixtures
         mesh_ = self.mesh
         G, N = self.G, self.N
+        c = cfg.cond_channels
+        clr_off = 1 if cfg.clr_joint_mode == 1 else 0
+        logistic = cfg.distribution == "logistic"
+        self._c = c
+        self._clr_off = clr_off
+
+        def sym_ch(b, clr):
+            return sym_channel(cfg, b, clr)
 
         repl = NamedSharding(mesh_, P())
         sh_img = NamedSharding(mesh_, P(None, "sp", None, None))
         sh_row = NamedSharding(mesh_, P("sp"))
         self.sh_img = sh_img
         self.repl = repl
+        self.sh_row = sh_row
         self.params = jax.device_put(params, repl)
+        model = self.model
 
-        # ---- shared GSPMD programs (encode and decode both call these
-        # ---- with identical shapes+shardings -> same executables) -------
-        @partial(jax.jit, static_argnums=(2, 3),
-                 in_shardings=(repl, sh_img), out_shardings=sh_img)
-        def band_params_fn(params_, y_lev, scl, b):
-            return self.model.apply(params_, y_lev[..., 0:3 * (b + 1)],
-                                    scl, b, method=LLICTIModel.band_params)
+        # ---- fused per-(scale, band) program --------------------------------
+        # Same structure as the single-chip codec's scale_band_fn: both
+        # directions call this executable with identical shapes AND
+        # shardings, so every CDF is computed by the same compiled
+        # program on the same device — bit-exact across encode/decode.
+        @partial(jax.jit, static_argnums=(6, 7, 8),
+                 in_shardings=(repl, sh_img, sh_row, sh_row, sh_row, repl))
+        def scale_band_fn(params_, y_lev, words, states, offs, enable,
+                          scl, b, ranges):
+            if seqmd:
+                base = model.apply(params_, y_lev[..., 0:c * (b + 1)],
+                                   scl, b, method=LLICTIModel.band_base)
+            else:
+                pmap = model.apply(params_, y_lev[..., 0:c * (b + 1)],
+                                   scl, b, method=LLICTIModel.band_params)
+            h, w = y_lev.shape[1], y_lev.shape[2]
+            h_loc = h // G
+            n_loc = h_loc * w
+            bkt = _bucket(n_loc)
+            sf = []
+            for clr in range(3):
+                if seqmd:
+                    y_seq = y_lev[..., sym_ch(b, 0):sym_ch(b, 0) + 2]
+                    pmap = model.apply(
+                        params_, base, y_seq, scl, b, clr,
+                        method=LLICTIModel.band_params_seq)
+                minv, maxv = ranges[clr]
+                stdevs, means, weights = gmm_slice_params(
+                    cfg, pmap, y_lev, b, clr)
+                pts = cdf_sampling_points(minv, maxv)
+                cum = rd.cdf_float_to_cum_int32(gmm_cdf_table(
+                    pts, stdevs, means, weights, logistic=logistic))
+                cum = jax.lax.with_sharding_constraint(cum, sh_img)
 
-        def _gmm_params(pmap, y_lev, b, clr):
-            y0 = y_lev[..., 3 * (b + 1):3 * (b + 1) + 1]
-            y1 = y_lev[..., 3 * (b + 1) + 1:3 * (b + 1) + 2]
-            stdevs = pmap[..., clr * M:(clr + 1) * M]
-            means = pmap[..., (3 + clr) * M:(3 + clr + 1) * M]
-            weights = pmap[..., (6 + clr) * M:(6 + clr + 1) * M]
-            if clr == 1:
-                means = means + pmap[..., 9 * M:10 * M] * y0
-            elif clr == 2:
-                means = means + (pmap[..., 10 * M:11 * M] * y0
-                                 + pmap[..., 11 * M:12 * M] * y1)
-            return stdevs, means, weights
+                def body(cum_blk, y_blk, words_blk, states_blk, off_blk, en,
+                         b=b, clr=clr, minv=minv, bkt=bkt, n_loc=n_loc,
+                         h_loc=h_loc, w=w):
+                    on = en > 0
+                    cc = cum_blk[0]  # [h_loc, w, Lp]
 
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5),
-                 in_shardings=(sh_img, sh_img), out_shardings=sh_img)
-        def cdf_cum_fn(pmap, y_lev, b, clr, minv, maxv):
-            stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
-            pts = cdf_sampling_points(minv, maxv)
-            return rd.cdf_float_to_cum_int32(
-                gmm_cdf_table(pts, stdevs, means, weights))
+                    def enc_sf(cc):
+                        yv = y_blk[0, :, :, sym_ch(b, clr)]
+                        sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
+                        sym = jnp.clip(sym, 0, cc.shape[-1] - 2)[..., None]
+                        iota = jnp.arange(cc.shape[-1], dtype=jnp.int32)
+                        lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
+                        hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0),
+                                     axis=-1)
+                        return (jnp.pad(lo.reshape(-1), (0, bkt - n_loc)),
+                                jnp.pad((hi - lo).reshape(-1),
+                                        (0, bkt - n_loc)))
+
+                    def no_sf(cc):
+                        z = jnp.zeros((bkt,), jnp.int32)
+                        return z, z
+
+                    st_arr, fr_arr = jax.lax.cond(on, no_sf, enc_sf, cc)
+                    cum2 = cc.reshape(n_loc, -1)
+
+                    def dec(args):
+                        w_, s_, o_ = args
+                        return rd.rans_decode_body(cum2, w_, s_, o_, N, n_loc)
+
+                    def skip(args):
+                        _w, s_, o_ = args
+                        return jnp.zeros((n_loc,), jnp.int32), s_, o_
+
+                    syms, st2, off2 = jax.lax.cond(
+                        on, dec, skip,
+                        (words_blk[0], states_blk[0], off_blk[0]))
+                    vals = (syms.reshape(1, h_loc, w) + minv).astype(
+                        jnp.float32) * INV255
+                    cur = y_blk[..., sym_ch(b, clr)]
+                    y_blk = y_blk.at[..., sym_ch(b, clr)].set(
+                        jnp.where(on, vals, cur))
+                    return (y_blk, st2[None], off2[None],
+                            st_arr[None], fr_arr[None])
+
+                y_lev, states, offs, st_arr, fr_arr = jax.shard_map(
+                    body, mesh=mesh_,
+                    in_specs=(P(None, "sp", None, None),
+                              P(None, "sp", None, None),
+                              P("sp"), P("sp"), P("sp"), P()),
+                    out_specs=(P(None, "sp", None, None), P("sp"), P("sp"),
+                               P("sp"), P("sp")),
+                    check_vma=False)(cum, y_lev, words, states, offs, enable)
+                sf.append(st_arr)
+                sf.append(fr_arr)
+            # [3, G, bkt] stacks: one pair per band for the grouped encode
+            st3 = jnp.stack(sf[0::2])
+            fr3 = jnp.stack(sf[1::2])
+            return y_lev, states, offs, st3, fr3
+
+        # ---- grouped per-shard rANS encode: one program per scale ----------
+        # Chains the scale's 9 slices (reverse decode order) through each
+        # shard's lane states in ONE dispatch; integer-only, so grouping
+        # has no float-determinism hazard.
+        @partial(jax.jit, donate_argnums=(8,))
+        def encode_group_fn(s0, f0, s1, f1, s2, f2, states, cursors, bufs):
+            def body(s0, f0, s1, f1, s2, f2, states_blk, cur_blk, buf_blk):
+                states = states_blk[0]
+                cursor = cur_blk[0]
+                buf = buf_blk[0]
+                curs = []
+                for st3, fr3 in ((s2, f2), (s1, f1), (s0, f0)):
+                    for clr in (2, 1, 0):
+                        buf, cursor, states = rd.rans_encode_body(
+                            st3[clr, 0], fr3[clr, 0], states, cursor, buf, N)
+                        curs.append(cursor)
+                return (buf[None], states[None],
+                        jnp.stack(curs)[:, None])
+
+            sp3 = P(None, "sp")
+            return jax.shard_map(
+                body, mesh=mesh_,
+                in_specs=(sp3, sp3, sp3, sp3, sp3, sp3,
+                          P("sp"), P("sp"), P("sp")),
+                out_specs=(P("sp"), P("sp"), sp3),
+                check_vma=False)(s0, f0, s1, f1, s2, f2,
+                                 states, cursors, bufs)
 
         # ---- front end (encode) ------------------------------------------
         @partial(jax.jit, static_argnums=(1,), in_shardings=(sh_img,))
         def front_fn(rgb_u8, levels):
-            from ..ops.wavelet import lazy_dwt
-
             rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
             mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
                   jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
             shift = jnp.array([127, 0, 0], jnp.int32)
             x = (ycocg - shift).astype(jnp.float32) * INV255
+            if clr_off:
+                zrs = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+                x = jnp.concatenate([zrs, x], axis=-1)
             last_stride = 2 ** (max(levels) + 1)
             x00_raw = rgb_int[:, ::last_stride, ::last_stride, :].astype(
                 jnp.uint8)
@@ -143,74 +276,13 @@ class ShardedCodec:
                       for y in y_list]
             return tuple(y_list), mm, x00_raw
 
-        # ---- per-shard symbol (start, freq) gather ------------------------
-        def _startfreq_body(cum_blk, y_blk, b, clr, minv, n_loc):
-            y = y_blk[0, :, :, 3 * (b + 1) + clr]
-            sym = (jnp.round(y * 255.0).astype(jnp.int32) - minv)[..., None]
-            c = cum_blk[0]
-            lo = jnp.take_along_axis(c, sym, axis=-1)[..., 0]
-            hi = jnp.take_along_axis(c, sym + 1, axis=-1)[..., 0]
-            bkt = _bucket(n_loc)
-            starts = jnp.pad(lo.reshape(-1), (0, bkt - n_loc))
-            freqs = jnp.pad((hi - lo).reshape(-1), (0, bkt - n_loc))
-            return starts[None], freqs[None]
-
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-        def startfreq_fn(cum, y_lev, b, clr, minv, n_loc):
-            body = partial(_startfreq_body, b=b, clr=clr, minv=minv,
-                           n_loc=n_loc)
-            return jax.shard_map(
-                body, mesh=mesh_,
-                in_specs=(P(None, "sp", None, None), P(None, "sp", None, None)),
-                out_specs=(P("sp"), P("sp")), check_vma=False)(cum, y_lev)
-
-        # ---- per-shard chained rANS encode --------------------------------
-        def _enc_body(st, fr, states, cursor, buf):
-            b2, c2, s2 = rd.rans_encode_body(st[0], fr[0], states[0],
-                                             cursor[0], buf[0], N)
-            return b2[None], c2[None], s2[None]
-
-        @partial(jax.jit, donate_argnums=(4,))
-        def encode_slice_fn(starts, freqs, states, cursors, bufs):
-            return jax.shard_map(
-                _enc_body, mesh=mesh_,
-                in_specs=(P("sp"), P("sp"), P("sp"), P("sp"), P("sp")),
-                out_specs=(P("sp"), P("sp"), P("sp")),
-                check_vma=False)(starts, freqs, states, cursors, bufs)
-
-        # ---- per-shard rANS decode + write-back ----------------------------
-        def _dec_body(cum_blk, words_blk, states_blk, off_blk, y_blk,
-                      b, clr, h_loc, w, minv):
-            n = h_loc * w
-            cum2 = cum_blk[0].reshape(n, -1)
-            syms, st, off = rd.rans_decode_body(
-                cum2, words_blk[0], states_blk[0], off_blk[0], N, n)
-            vals = (syms.reshape(1, h_loc, w) + minv).astype(
-                jnp.float32) * INV255
-            y_blk = y_blk.at[..., 3 * (b + 1) + clr].set(vals)
-            return y_blk, st[None], off[None]
-
-        @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-        def decode_step_fn(cum, words, states, offs, y_lev,
-                           b, clr, h_loc, w, minv):
-            body = partial(_dec_body, b=b, clr=clr, h_loc=h_loc, w=w,
-                           minv=minv)
-            return jax.shard_map(
-                body, mesh=mesh_,
-                in_specs=(P(None, "sp", None, None), P("sp"), P("sp"),
-                          P("sp"), P(None, "sp", None, None)),
-                out_specs=(P(None, "sp", None, None), P("sp"), P("sp")),
-                check_vma=False)(cum, words, states, offs, y_lev)
-
         # ---- scale plumbing ------------------------------------------------
         @partial(jax.jit, in_shardings=(sh_img,), out_shardings=sh_img)
         def next_scale_fn(y_lev):
-            from ..ops.wavelet import interleave_scale
-
-            x00 = interleave_scale(y_lev, 3)
+            x00 = interleave_scale(y_lev, c)
             h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 12), jnp.float32)
-            return out.at[..., 0:3].set(x00)
+            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+            return out.at[..., 0:c].set(x00)
 
         @partial(jax.jit, out_shardings=sh_img)
         def init_scale_fn(raw_rgb_uint8):
@@ -218,28 +290,24 @@ class ShardedCodec:
             shift = jnp.array([127, 0, 0], jnp.int32)
             x00 = (ycocg - shift).astype(jnp.float32) * INV255
             h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 12), jnp.float32)
-            return out.at[..., 0:3].set(x00)
+            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+            return out.at[..., clr_off:clr_off + 3].set(x00)
 
         @partial(jax.jit, in_shardings=(sh_img,))
         def postprocess_fn(y_lev):
-            from ..ops.wavelet import interleave_scale
-
-            y_3ch = interleave_scale(y_lev, 3)
+            y_c = interleave_scale(y_lev, c)
+            y_3ch = y_c[..., clr_off:clr_off + 3]
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + jnp.array(
                 [127, 0, 0], jnp.int32)
             return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
-        @partial(jax.jit, static_argnums=(1,))
+        @partial(jax.jit, static_argnums=(1,), out_shardings=sh_row)
         def pad_words_fn(w, cap):
             return jnp.zeros((G, cap), w.dtype).at[:, : w.shape[1]].set(w)
 
-        self._band_params = band_params_fn
-        self._cdf_cum = cdf_cum_fn
+        self._scale_band = scale_band_fn
+        self._encode_group = encode_group_fn
         self._front = front_fn
-        self._startfreq = startfreq_fn
-        self._encode_slice = encode_slice_fn
-        self._decode_step = decode_step_fn
         self._next_scale = next_scale_fn
         self._init_scale = init_scale_fn
         self._postprocess = postprocess_fn
@@ -254,6 +322,9 @@ class ShardedCodec:
         if clr == 0:
             return -127, 128
         return _bucket_range(int(minmax[clr]), int(minmax[3 + clr]))
+
+    def _ranges(self, minmax):
+        return tuple(self._clr_range(clr, minmax) for clr in range(3))
 
     def _scale_dims(self, S: int, last_h: int, last_w: int):
         """(scl, h, w) per scale in decode order (padded => exact doubling)."""
@@ -273,69 +344,130 @@ class ShardedCodec:
         return -(-total // 16384) * 16384
 
     # ------------------------------------------------------------------
-    def compress(self, rgb: np.ndarray) -> List[List[bytes]]:
-        cfg = self.cfg
-        if rgb.ndim == 3:
-            rgb = rgb[None]
-        assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
-        orig_h, orig_w = rgb.shape[1], rgb.shape[2]
-        mh, mw = self._pad_multiple()
-        H = -(-orig_h // mh) * mh
-        W = -(-orig_w // mw) * mw
-        rgb = np.pad(rgb, ((0, 0), (0, H - orig_h), (0, W - orig_w), (0, 0)),
-                     mode="edge")
-        S = cfg.num_scales
-
-        x_dev = jax.device_put(rgb.astype(np.uint8), self.sh_img)
-        y_list, mm, x00_raw = self._front(x_dev, cfg.dwtlevels)
-        mm_np, x00_np = jax.device_get((mm, x00_raw))
-        min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
-        minmax = [0, min_co, min_cg, 255, max_co, max_cg]
-        last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
-        raw = np.asarray(x00_np).tobytes()
-        hdr = (np.array([S, self.G], np.uint8).tobytes()
-               + np.array([last_h, last_w], np.uint16).tobytes()
-               + np.array([orig_h, orig_w], np.uint32).tobytes())
-        streams: List[List[bytes]] = [
-            [hdr, np.array(minmax, np.int16).tobytes(), raw]]
-
-        # gather per-slice (starts, freqs) in decode order
-        slice_sf = []
+    def _encode_dispatch(self, y_list, minmax):
+        """Enqueue one image's encode; returns device handles only."""
+        S = self.cfg.num_scales
+        ranges = self._ranges(minmax)
+        last_h = y_list[S - 1].shape[1]
+        last_w = y_list[S - 1].shape[2]
+        cap = self._words_cap(S, last_h, last_w)
+        dummy_words = self._pad_words(
+            jnp.zeros((self.G, 4096), jnp.uint16), cap)
+        dummy_states = jax.device_put(
+            jnp.full((self.G, self.N), rd.RANS_L, jnp.uint32), self.sh_row)
+        dummy_offs = jax.device_put(
+            jnp.zeros((self.G,), jnp.int32), self.sh_row)
+        zero = jnp.int32(0)
+        # per scale (decode order): per-band stacked (start, freq) pairs
+        scale_sf = []
         for scl in range(S - 1, -1, -1):
             y_lev = y_list[scl]
-            h, w = y_lev.shape[1], y_lev.shape[2]
-            n_loc = (h // self.G) * w
+            sfs = []
             for b in range(3):
-                pmap = self._band_params(self.params, y_lev, scl, b)
-                for clr in range(3):
-                    minv, maxv = self._clr_range(clr, minmax)
-                    cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
-                    slice_sf.append(self._startfreq(cum, y_lev, b, clr,
-                                                    minv, n_loc))
-        # chained per-shard rANS encode in reverse decode order
-        cap = self._words_cap(S, last_h, last_w)
-        states = jnp.full((self.G, self.N), rd.RANS_L, jnp.uint32)
-        states = jax.device_put(states, NamedSharding(self.mesh, P("sp")))
+                _y, _s, _o, st3, fr3 = self._scale_band(
+                    self.params, y_lev, dummy_words, dummy_states,
+                    dummy_offs, zero, scl, b, ranges)
+                sfs.append((st3, fr3))
+            scale_sf.append(sfs)
+        # chained per-shard encode: scales fine->coarse (reverse decode
+        # order), one grouped program per scale
+        states = jax.device_put(
+            jnp.full((self.G, self.N), rd.RANS_L, jnp.uint32), self.sh_row)
         bufs = jax.device_put(jnp.zeros((self.G, cap), jnp.int32),
-                              NamedSharding(self.mesh, P("sp")))
+                              self.sh_row)
         cursors = jax.device_put(jnp.zeros((self.G,), jnp.int32),
-                                 NamedSharding(self.mesh, P("sp")))
-        for st, fr in reversed(slice_sf):
-            bufs, cursors, states = self._encode_slice(st, fr, states,
-                                                       cursors, bufs)
-        cursors_np, states_np = jax.device_get((cursors, states))
-        maxc = int(cursors_np.max())
-        bucket = min(cap, -(-max(1, maxc) // 16384) * 16384)
-        packed = np.asarray(jax.device_get(bufs[:, :bucket]))
+                                 self.sh_row)
+        curs_per_scale = []  # encode order; each [9, G]
+        for sfs in reversed(scale_sf):
+            (s0, f0), (s1, f1), (s2, f2) = sfs
+            bufs, states, curs9 = self._encode_group(
+                s0, f0, s1, f1, s2, f2, states, cursors, bufs)
+            cursors = curs9[-1]
+            curs_per_scale.append(curs9)
+        return curs_per_scale, states, bufs
+
+    def _encode_finalize(self, streams, curs_np_list, states_np, packed_np):
+        """Assemble per-shard blobs + per-slice bit accounting."""
+        S = self.cfg.num_scales
+        G = self.G
         blobs = []
-        for g in range(self.G):
+        curs_all = np.concatenate(curs_np_list, axis=0)  # [9S, G] cumulative
+        final = curs_all[-1]
+        for g in range(G):
             blobs.append(rd.pack_stream_packed(
-                packed[g, : int(cursors_np[g])], states_np[g]))
+                np.asarray(packed_np[g, : int(final[g])]),
+                np.asarray(states_np[g])))
         streams.append(blobs)
+        # per-slice word counts (encode order, per shard) -> decode-order
+        # bits summed over shards
+        prev = np.zeros((1, G), curs_all.dtype)
+        counts = np.diff(np.concatenate([prev, curs_all], axis=0), axis=0)
+        bits_enc_order = counts.sum(axis=1) * 16  # [9S]
+        bits_dec_order = bits_enc_order[::-1]
+        self.last_slice_bits = [
+            [int(v) for v in bits_dec_order[9 * i: 9 * i + 9]]
+            for i in range(S)
+        ]
         return streams
 
+    def compress(self, rgb: np.ndarray) -> List[List[bytes]]:
+        return self.compress_many([rgb])[0]
+
+    def compress_many(self, imgs) -> List[List[List[bytes]]]:
+        """Pipelined encode of several images: all front transforms
+        dispatch first, then all slice/chain programs, with one host sync
+        per stage instead of several per image."""
+        cfg = self.cfg
+        S = cfg.num_scales
+        mh, mw = self._pad_multiple()
+        stage1 = []
+        for rgb in imgs:
+            if rgb.ndim == 3:
+                rgb = rgb[None]
+            assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
+            orig_h, orig_w = rgb.shape[1], rgb.shape[2]
+            H = -(-orig_h // mh) * mh
+            W = -(-orig_w // mw) * mw
+            padded = np.pad(rgb, ((0, 0), (0, H - orig_h), (0, W - orig_w),
+                                  (0, 0)), mode="edge")
+            x_dev = jax.device_put(padded.astype(np.uint8), self.sh_img)
+            y_list, mm, x00_raw = self._front(x_dev, cfg.dwtlevels)
+            stage1.append((y_list, mm, x00_raw, orig_h, orig_w))
+        mms = jax.device_get([(s[1], s[2]) for s in stage1])
+        stage2 = []
+        for (y_list, _, _, orig_h, orig_w), (mm_np, x00_np) in zip(
+                stage1, mms):
+            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
+            minmax = [0, min_co, min_cg, 255, max_co, max_cg]
+            last_h = y_list[S - 1].shape[1]
+            last_w = y_list[S - 1].shape[2]
+            hdr = (np.array([S, self.G], np.uint8).tobytes()
+                   + np.array([last_h, last_w], np.uint16).tobytes()
+                   + np.array([orig_h, orig_w], np.uint32).tobytes())
+            streams = [[hdr, np.array(minmax, np.int16).tobytes(),
+                        np.asarray(x00_np).tobytes()]]
+            curs, states, bufs = self._encode_dispatch(y_list, minmax)
+            stage2.append((streams, curs, states, bufs))
+        got = jax.device_get([(s[1], s[2]) for s in stage2])
+        packed_bufs = []
+        for (_st, _c, _s, bufs), (curs_np_list, _states) in zip(stage2, got):
+            maxc = int(np.concatenate(curs_np_list, axis=0)[-1].max())
+            bucket = min(bufs.shape[1], -(-max(1, maxc) // 16384) * 16384)
+            packed_bufs.append(bufs[:, :bucket])
+        packed_all = jax.device_get(packed_bufs)
+        out = []
+        for (streams, _c, _s, _b), (curs_np_list, states_np), packed in zip(
+                stage2, got, packed_all):
+            out.append(self._encode_finalize(
+                streams, [np.asarray(x) for x in curs_np_list],
+                np.asarray(states_np), np.asarray(packed)))
+        return out
+
     # ------------------------------------------------------------------
-    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
+    def decompress_dispatch(self, streams: List[List[bytes]]):
+        """Enqueue one image's decode; returns (device uint8 array,
+        orig_h, orig_w).  Dispatches are async, so several decodes can be
+        enqueued back-to-back and fetched together."""
         cfg = self.cfg
         hdr = streams[0][0]
         S = int(np.frombuffer(hdr[:1], np.uint8)[0])
@@ -346,6 +478,7 @@ class ShardedCodec:
         minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
         raw = np.frombuffer(streams[0][2], np.uint8).reshape(
             1, last_h, last_w, 3)
+        ranges = self._ranges(minmax)
 
         states_np = np.zeros((G, self.N), np.uint32)
         word_arrs = []
@@ -359,27 +492,33 @@ class ShardedCodec:
         for g, a in enumerate(word_arrs):
             w_small[g, : a.size] = a
         cap = self._words_cap(S, last_h, last_w)
-        sh_row = NamedSharding(self.mesh, P("sp"))
         words = self._pad_words(
-            jax.device_put(jnp.asarray(w_small), sh_row), cap)
-        states = jax.device_put(jnp.asarray(states_np), sh_row)
-        offs = jax.device_put(jnp.zeros((G,), jnp.int32), sh_row)
+            jax.device_put(jnp.asarray(w_small), self.sh_row), cap)
+        states = jax.device_put(jnp.asarray(states_np), self.sh_row)
+        offs = jax.device_put(jnp.zeros((G,), jnp.int32), self.sh_row)
+        one = jnp.int32(1)
 
         y_lev = self._init_scale(jnp.asarray(raw))
         for scl in range(S - 1, -1, -1):
             if scl != S - 1:
                 y_lev = self._next_scale(y_lev)
-            h, w = y_lev.shape[1], y_lev.shape[2]
             for b in range(3):
-                pmap = self._band_params(self.params, y_lev, scl, b)
-                for clr in range(3):
-                    minv, maxv = self._clr_range(clr, minmax)
-                    cum = self._cdf_cum(pmap, y_lev, b, clr, minv, maxv)
-                    y_lev, states, offs = self._decode_step(
-                        cum, words, states, offs, y_lev,
-                        b, clr, h // self.G, w, minv)
-        out = np.asarray(jax.device_get(self._postprocess(y_lev)))
+                y_lev, states, offs, _st, _fr = self._scale_band(
+                    self.params, y_lev, words, states, offs, one,
+                    scl, b, ranges)
+        return self._postprocess(y_lev), orig_h, orig_w
+
+    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
+        out, orig_h, orig_w = self.decompress_dispatch(streams)
+        out = np.asarray(jax.device_get(out))
         return out[:, :orig_h, :orig_w, :]
+
+    def decompress_many(self, streams_list) -> List[np.ndarray]:
+        """Pipelined decode of several images: enqueue all, sync once."""
+        outs = [self.decompress_dispatch(s) for s in streams_list]
+        fetched = jax.device_get([o[0] for o in outs])
+        return [np.asarray(f)[:, :oh, :ow, :]
+                for f, (_d, oh, ow) in zip(fetched, outs)]
 
     @staticmethod
     def num_bytes(streams: List[List[bytes]]) -> int:

@@ -66,3 +66,75 @@ def test_sharded_rate_close_to_single_chip():
     nb_single = Codec.num_bytes(single.compress(img))
     nb_sharded = ShardedCodec.num_bytes(sharded.compress(img))
     assert nb_sharded < nb_single * 1.2 + 200
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+def test_sharded_roundtrip_clrjnt(mode):
+    """Sharded codec covers the same variant matrix as the single-chip
+    codec (clr_joint_mode 0/1 are extensions beyond the reference)."""
+    cfg = small_cfg(clr_joint_mode=mode)
+    codec = make_sharded(cfg, 4)
+    img = natural_image(36, 44, seed=mode)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert np.array_equal(out[0], img)
+
+
+def test_sharded_roundtrip_logistic():
+    cfg = small_cfg(distribution="logistic")
+    codec = make_sharded(cfg, 2)
+    img = natural_image(32, 32, seed=9)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert np.array_equal(out[0], img)
+
+
+def test_sharded_roundtrip_clrjnt0_seqmd():
+    cfg = small_cfg(clr_joint_mode=0, clrjnt0seqmd=True)
+    codec = make_sharded(cfg, 4)
+    img = natural_image(32, 36, seed=13)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert np.array_equal(out[0], img)
+
+
+def test_sharded_slice_bits_account_for_stream():
+    """Per-slice bit accounting sums to the payload words (eval rate
+    tables keep their scale x band x color breakdown on meshes)."""
+    cfg = small_cfg()
+    codec = make_sharded(cfg, 4)
+    img = natural_image(64, 48, seed=17)
+    streams = codec.compress(img)
+    assert codec.last_slice_bits is not None
+    assert len(codec.last_slice_bits) == cfg.num_scales
+    assert all(len(row) == 9 for row in codec.last_slice_bits)
+    slice_bits = sum(sum(row) for row in codec.last_slice_bits)
+    # blobs = per-shard [states u32 x N, payload words]; payload == slice sum
+    payload_bits = sum(
+        (len(b) - codec.N * 4) * 8 for b in streams[1])
+    assert slice_bits == payload_bits
+
+
+def test_sharded_many_apis_match_single_calls():
+    """compress_many/decompress_many are pipelined but byte-identical to
+    the one-at-a-time paths."""
+    cfg = small_cfg()
+    codec = make_sharded(cfg, 2)
+    imgs = [natural_image(32, 32, seed=s) for s in (1, 2)]
+    singles = [codec.compress(im) for im in imgs]
+    manys = codec.compress_many(imgs)
+    for s_one, s_many in zip(singles, manys):
+        assert [bytes(b) for g in s_one for b in g] == \
+            [bytes(b) for g in s_many for b in g]
+    outs = codec.decompress_many(singles)
+    for out, im in zip(outs, imgs):
+        assert np.array_equal(out[0], im)
+
+
+def test_sharded_supports():
+    from llicti_tpu.config import ModelConfig
+
+    assert ShardedCodec.supports(small_cfg())
+    assert ShardedCodec.supports(small_cfg(clr_joint_mode=0))
+    assert not ShardedCodec.supports(small_cfg(subtract_mean=True))
+    assert not ShardedCodec.supports(small_cfg(ycocg=False))
