@@ -146,7 +146,8 @@ class Codec:
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",
                  num_lanes: int = 512, num_threads: int = 8,
                  use_pallas_cdf: bool = False,
-                 use_pallas_rans: bool = False):
+                 use_pallas_rans: bool = False,
+                 size_bucket: int = 0):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2), (
             "codec path requires clrchs=3 (reference codes only clrjnt=2; "
             "clrjnt 0/1 + seqmd coding are extensions beyond the reference)")
@@ -164,6 +165,16 @@ class Codec:
             "codec path does not code it (reference get_params likewise, "
             "LLICTI_nets.py:820-825)")
         assert backend in ("device", "host")
+        if size_bucket:
+            # pad-to-bucket compile strategy (SURVEY §7 hard part #4): a
+            # ragged eval set compiles one program family per BUCKETED
+            # shape instead of per exact shape.  Bucket must be a multiple
+            # of the last scale's stride so pad flags vanish.
+            mult = 2 ** (max(cfg.dwtlevels) + 1)
+            assert size_bucket % mult == 0, (
+                f"size_bucket must be a multiple of {mult}")
+        self.size_bucket = size_bucket
+        self.compiled_shapes: set = set()
         self.cfg = cfg
         self.params = params
         self.backend = backend
@@ -422,21 +433,38 @@ class Codec:
                     total += -(-bucket // self.N) * self.N
         return -(-total // 65536) * 65536
 
-    def _header_group(self, S, last_h, last_w, minmax, pad_int, raw
-                      ) -> List[bytes]:
+    def _header_group(self, S, last_h, last_w, orig_h, orig_w, minmax,
+                      pad_int, raw) -> List[bytes]:
         header = (np.array([S], np.uint8).tobytes()
-                  + np.array([last_h, last_w], np.uint16).tobytes())
+                  + np.array([last_h, last_w], np.uint16).tobytes()
+                  + np.array([orig_h, orig_w], np.uint32).tobytes())
         return [header, np.array(minmax, np.int16).tobytes(),
                 np.array([pad_int], np.int16).tobytes(), raw,
                 b"", b"", b"", b"", b""]
+
+    def _prepare(self, rgb: np.ndarray):
+        """[H,W,3]/[1,H,W,3] uint8 -> (padded [1,H',W',3], orig_h, orig_w).
+
+        With size_bucket set, replicate-pads to bucket multiples so a
+        ragged eval set hits a bounded set of compiled shapes."""
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
+        orig_h, orig_w = rgb.shape[1], rgb.shape[2]
+        if self.size_bucket:
+            B = self.size_bucket
+            H = -(-orig_h // B) * B
+            W = -(-orig_w // B) * B
+            rgb = np.pad(rgb, ((0, 0), (0, H - orig_h), (0, W - orig_w),
+                               (0, 0)), mode="edge")
+        self.compiled_shapes.add((rgb.shape[1], rgb.shape[2]))
+        return rgb, orig_h, orig_w
 
     # ------------------------------------------------------------------
     def compress(self, rgb: np.ndarray) -> List[List[bytes]]:
         """Encode one image. rgb: [H, W, 3] or [1, H, W, 3] uint8."""
         cfg = self.cfg
-        if rgb.ndim == 3:
-            rgb = rgb[None]
-        assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
+        rgb, orig_h, orig_w = self._prepare(rgb)
         H, W = rgb.shape[1], rgb.shape[2]
         pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
         S = cfg.num_scales
@@ -450,7 +478,8 @@ class Codec:
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
         raw = np.asarray(x00_np).tobytes()
         streams: List[List[bytes]] = [
-            self._header_group(S, last_h, last_w, minmax, pad_int, raw)]
+            self._header_group(S, last_h, last_w, orig_h, orig_w, minmax,
+                               pad_int, raw)]
 
         if self.backend == "device":
             return self._compress_device(streams, y_list, minmax, pad_flags)
@@ -555,23 +584,24 @@ class Codec:
         S = cfg.num_scales
         stage1 = []
         for rgb in imgs:
-            if rgb.ndim == 3:
-                rgb = rgb[None]
+            rgb, orig_h, orig_w = self._prepare(rgb)
             H, W = rgb.shape[1], rgb.shape[2]
             pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
             y_list, mm, x00_raw = self._front(
                 jnp.asarray(rgb.astype(np.uint8)), cfg.dwtlevels)
-            stage1.append((y_list, mm, x00_raw, pad_flags, pad_int))
+            stage1.append((y_list, mm, x00_raw, pad_flags, pad_int,
+                           orig_h, orig_w))
         mms = jax.device_get([(s[1], s[2]) for s in stage1])
         stage2 = []
-        for (y_list, _, _, pad_flags, pad_int), (mm_np, x00_np) in zip(
-                stage1, mms):
+        for (y_list, _, _, pad_flags, pad_int, orig_h, orig_w), (
+                mm_np, x00_np) in zip(stage1, mms):
             min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
             minmax = [0, min_co, min_cg, 255, max_co, max_cg]
             last_h = y_list[S - 1].shape[1]
             last_w = y_list[S - 1].shape[2]
-            streams = [self._header_group(S, last_h, last_w, minmax,
-                                          pad_int, np.asarray(x00_np).tobytes())]
+            streams = [self._header_group(S, last_h, last_w, orig_h, orig_w,
+                                          minmax, pad_int,
+                                          np.asarray(x00_np).tobytes())]
             meta, cursors, states, buf = self._encode_dispatch(
                 y_list, minmax, pad_flags)
             stage2.append((streams, meta, cursors, states, buf))
@@ -673,7 +703,8 @@ class Codec:
 
     # ------------------------------------------------------------------
     def decompress_dispatch(self, streams: List[List[bytes]]):
-        """Enqueue one image's decode; returns the on-device uint8 array.
+        """Enqueue one image's decode; returns (on-device uint8 array,
+        orig_h, orig_w).
 
         Dispatches are async, so several images' decodes can be enqueued
         back-to-back and fetched together — uploads, device compute, and
@@ -681,27 +712,34 @@ class Codec:
         Host-backend streams fall back to the synchronous path.
         """
         cfg = self.cfg
-        S = int(np.frombuffer(streams[0][0][:1], np.uint8)[0])
+        hdr = streams[0][0]
+        S = int(np.frombuffer(hdr[:1], np.uint8)[0])
         assert S == cfg.num_scales
-        last_h, last_w = (int(v) for v in
-                          np.frombuffer(streams[0][0][1:5], np.uint16))
+        last_h, last_w = (int(v) for v in np.frombuffer(hdr[1:5], np.uint16))
+        orig_h, orig_w = (int(v) for v in np.frombuffer(hdr[5:13], np.uint32))
         minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
         pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
         pad_flags = unpack_pad_flags(pad_int, S)
         raw = np.frombuffer(streams[0][3], np.uint8).reshape(
             1, last_h, last_w, 3)
         if len(streams) == 2 and len(streams[1]) == 1:
-            return self._decompress_device(streams, S, minmax, pad_flags, raw)
-        return self._decompress_host(streams, S, minmax, pad_flags, raw)
+            out = self._decompress_device(streams, S, minmax, pad_flags, raw)
+        else:
+            out = self._decompress_host(streams, S, minmax, pad_flags, raw)
+        return out, orig_h, orig_w
 
     def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
         """Decode a bitstream list back to [1, H, W, 3] uint8 RGB."""
-        return np.asarray(jax.device_get(self.decompress_dispatch(streams)))
+        out, orig_h, orig_w = self.decompress_dispatch(streams)
+        out = np.asarray(jax.device_get(out))
+        return out[:, :orig_h, :orig_w, :]
 
     def decompress_many(self, streams_list) -> List[np.ndarray]:
         """Pipelined decode of several images: enqueue all, sync once."""
         outs = [self.decompress_dispatch(s) for s in streams_list]
-        return [np.asarray(o) for o in jax.device_get(outs)]
+        fetched = jax.device_get([o[0] for o in outs])
+        return [np.asarray(f)[:, :oh, :ow, :]
+                for f, (_d, oh, ow) in zip(fetched, outs)]
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -75,3 +75,21 @@ def test_rans_freq_one_stress():
     # cross-check the numpy decoder too
     dec = RansRefDecoder(words, states)
     assert np.array_equal(dec.decode_slice(cum), syms)
+
+
+def test_size_bucket_bounds_compiled_shapes():
+    """Pad-to-bucket strategy (SURVEY §7 hard part #4): a ragged set of
+    odd sizes compiles a bounded number of shape program-families while
+    staying lossless; the header records the original size for the crop."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    codec.size_bucket = 16  # multiple of 2**(max level+1) = 4
+    shapes = [(17, 23), (19, 21), (23, 17), (30, 26),
+              (33, 39), (37, 47), (41, 33), (47, 44)]
+    for i, (h, w) in enumerate(shapes):
+        img = natural_image(h, w, seed=100 + i)
+        out = codec.decompress(codec.compress(img))
+        assert out.shape == (1, h, w, 3)
+        assert np.array_equal(out[0], img)
+    # 8 distinct input shapes -> at most 2 bucketed shapes (32x32, 48x48)
+    assert len(codec.compiled_shapes) <= 2, codec.compiled_shapes
