@@ -41,6 +41,32 @@ class ModelConfig:
     distribution: str = "normal"  # "normal" | "logistic"
     num_mixtures: int = 5
 
+    def __post_init__(self):
+        # Every knob is either exercised or rejected loudly (no knobs
+        # that silently parse but do nothing).
+        if self.wtr_type != "lazydwt":
+            # the reference's 'x' alternative is a dead `else: pass`
+            # placeholder that crashes downstream
+            # (agents/llicti_agent.py:19-26); reject it up front
+            raise NotImplementedError(
+                f"wtr_type={self.wtr_type!r}: only 'lazydwt' is "
+                "implemented (the reference's 'x' branch is an empty "
+                "placeholder)")
+        if self.net_type != "regular":
+            # stored-but-never-read in the reference
+            # (graphs/models/LLICTI_nets.py:590); only the default exists
+            raise NotImplementedError(
+                f"net_type={self.net_type!r}: only 'regular' exists")
+        if self.distribution not in ("normal", "logistic"):
+            raise NotImplementedError(
+                f"distribution={self.distribution!r}")
+        if self.ent_mdl_num != 4:
+            # reference ent_mdl_num 0/3 are pass-stubs of deleted
+            # experiments (LLICTI_nets.py:288-291)
+            raise NotImplementedError(
+                f"ent_mdl_num={self.ent_mdl_num}: only the live "
+                "LLICTIEntropyModel4 (4) exists")
+
     @property
     def num_scales(self) -> int:
         return len(self.dwtlevels)

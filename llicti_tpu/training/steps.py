@@ -85,7 +85,10 @@ def make_train_step(model, tx):
 
         zero_g = jax.tree.map(jnp.zeros_like, state.params)
         S = len(model.cfg.dwtlevels)
-        init = (zero_g, jnp.zeros(()), jnp.zeros((S, 9)))
+        # breakdown width: 3 bands x colors (9 for clrchs=3, 3 for the
+        # single-channel clrchs<3 variants)
+        width = 9 if model.cfg.clrchs == 3 else 3
+        init = (zero_g, jnp.zeros(()), jnp.zeros((S, width)))
         (g, loss_sum, bd_sum), _ = jax.lax.scan(micro, init, batch)
         g = jax.tree.map(lambda a: a / acc, g)
         updates, opt_state = tx.update(g, state.opt_state, state.params)
