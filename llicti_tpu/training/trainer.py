@@ -29,6 +29,7 @@ from ..models.llicti import LLICTIModel
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging_utils import RateLogger, setup_logging
+from ..utils.notify import Notifier
 from .schedule import ReduceLROnPlateau
 from .steps import (TrainState, get_learning_rate, init_state, make_eval_step,
                     make_train_step, set_learning_rate)
@@ -105,6 +106,10 @@ class Trainer:
         self.trnit_logger = RateLogger()
         self.valid_logger = RateLogger()
         self.test_logger = RateLogger()
+        # failure/completion notifications land in the experiment's event
+        # log (SMTP transport available via Notifier fields)
+        self.notifier = Notifier(
+            event_log=os.path.join(config.log_dir, "events.jsonl"))
         self.ckpt = CheckpointManager(config.checkpoint_dir)
         self.current_epoch = 0
         self.current_iteration = 0
@@ -170,7 +175,7 @@ class Trainer:
             elif mode == "validate":
                 self.validate()
             elif mode == "test":
-                pass  # reference test() is an empty stub too
+                self.test()
             elif mode == "eval_model":
                 self.eval_model()
             elif mode == "model_size":
@@ -181,12 +186,20 @@ class Trainer:
                 raise NameError(f"'{mode}' is not a valid mode")
         except KeyboardInterrupt:
             self.logger.info("CTRL+C received; finalizing")
-        except Exception:
+        except Exception as exc:
             # crash-safety save (reference base.py:128-130) — but only if this
             # run actually made progress, so a mode typo can't clobber a good
             # checkpoint with fresh params
             if self.current_iteration > 0:
                 self.save_checkpoint()
+            # failure notification (the reference imports a Mailer for this
+            # but never wires it, agents/base.py:7; we do wire it)
+            self.notifier.send(
+                f"[llicti] {self.config.exp_name} crashed in mode "
+                f"'{mode}'",
+                f"{type(exc).__name__}: {exc} "
+                f"(epoch {self.current_epoch}, "
+                f"iter {self.current_iteration})")
             raise
 
     def finalize(self) -> None:
@@ -242,6 +255,22 @@ class Trainer:
         new_lr = self.scheduler.step(loss)
         if abs(new_lr - get_learning_rate(self.state)) > 1e-12:
             self.state = set_learning_rate(self.state, new_lr)
+        return loss
+
+    def test(self) -> float:
+        """Estimate-only eval over the test set: differentiable rate per
+        image, no entropy coding (the reference's test() is an empty stub,
+        agents/llicti_agent.py:116-120; eval_model covers the real-bytes
+        path)."""
+        mult = 2 ** (max(self.config.model.dwtlevels) + 1)
+        losses = []
+        for batch in self.test_loader:
+            batch = pad_to_multiple(batch, mult)
+            total, _ = self.eval_step(self.state.params, jnp.asarray(batch))
+            losses.append(float(total))
+        loss = float(np.mean(losses)) if losses else float("nan")
+        self.logger.info("Test (estimate-only): mean rate %.4f bpp over "
+                         "%d images", loss, len(losses))
         return loss
 
     def eval_model(self):

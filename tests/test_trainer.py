@@ -63,3 +63,30 @@ def test_eval_model_roundtrip(tmp_path):
     assert len(results) > 0
     assert all(r["ok"] for r in results)
     assert all(0 < r["bpsp"] < 24 for r in results)
+
+
+def test_test_mode_estimate_only(tmp_path):
+    """'test' mode runs an estimate-only eval over the test set (the
+    reference's test() is an empty stub; ours reports the mean rate)."""
+    cfg = tiny_config(tmp_path)
+    tr = Trainer(cfg)
+    tr.run()
+    cfg_test = dataclasses.replace(cfg, mode="test")
+    trt = Trainer(cfg_test)
+    loss = trt.test()
+    assert np.isfinite(loss) and 0 < loss < 48
+
+
+def test_crash_notification_written(tmp_path):
+    """An unexpected exception writes a failure event (wired Notifier;
+    the reference imports its Mailer but never calls it)."""
+    import json
+
+    cfg = dataclasses.replace(tiny_config(tmp_path), mode="bogus_mode")
+    tr = Trainer(cfg)
+    with pytest.raises(NameError):
+        tr.run()
+    log = os.path.join(cfg.log_dir, "events.jsonl")
+    assert os.path.exists(log)
+    ev = json.loads(open(log).read().splitlines()[-1])
+    assert "crashed" in ev["subject"] and "bogus_mode" in ev["subject"]
