@@ -24,21 +24,22 @@ def initialize(coordinator_address: Optional[str] = None,
     pod environments auto-discover the topology; elsewhere this degrades
     to single-process.
     """
-    try:
-        if jax.process_count() > 1:
-            return True
-    except Exception:
-        pass
+    # Do NOT probe jax.process_count() first: it initializes the local
+    # backend, after which distributed.initialize refuses to run.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        return jax.process_count() > 1
+    except RuntimeError as e:
+        # already initialized (idempotent re-entry) — fall through to the
+        # process_count check
+        log.debug("jax.distributed.initialize: %s", e)
     except Exception as e:  # single host / unsupported backend
         log.debug("jax.distributed not initialized (%s); single process", e)
         return False
+    return jax.process_count() > 1
 
 
 def local_batch_slice(global_batch: int) -> slice:
