@@ -392,6 +392,19 @@ class Codec:
                 [127, 0, 0], jnp.int32)
             return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
+        @partial(jax.jit, static_argnums=(2, 3))
+        def ycocg_err_fn(y_lev, xorg_u8, crop_h, crop_w):
+            """Pre-color-transform decode check (reference
+            LLICTI_nets.py:168-171, decompres(..., xorg)): max abs error
+            between decoded YCoCg ints and the transform of the original,
+            isolating coder bugs from inverse-color-transform bugs."""
+            y_c = interleave_scale(y_lev, c, crop_h, crop_w)
+            y_3ch = y_c[..., clr_off:clr_off + 3]
+            ycocg_dec = jnp.round(y_3ch * 255.0).astype(jnp.int32) + \
+                jnp.array([127, 0, 0], jnp.int32)
+            ycocg_org = rgb_int_to_ycocg_r_int(xorg_u8.astype(jnp.int32))
+            return jnp.max(jnp.abs(ycocg_dec - ycocg_org))
+
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
         self._scale_band = scale_band_fn
@@ -402,6 +415,8 @@ class Codec:
         self._init_scale = init_scale_fn
         self._pad_words = pad_words_fn
         self._postprocess = postprocess_fn
+        self._ycocg_err = ycocg_err_fn
+        self._last_y_lev = None  # finest decoded scale (for xorg check)
 
     # ------------------------------------------------------------------
     def _clr_range(self, clr: int, minmax: Sequence[int]) -> Tuple[int, int]:
@@ -645,6 +660,8 @@ class Codec:
                 y_lev, states, offset, _sf = self._scale_band(
                     self.params, y_lev, words, states, offset, one,
                     scl, b, padH, padW, ranges, self.N)
+        self._last_y_lev = (y_lev, int(pad_flags[0][0]),
+                            int(pad_flags[0][1]))
         return self._postprocess(y_lev, int(pad_flags[0][0]),
                                  int(pad_flags[0][1]))
 
@@ -697,6 +714,8 @@ class Codec:
                     syms = jnp.asarray(syms.astype(np.int32))
                     y_lev = self._writeback(y_lev, b, clr, padH, padW,
                                             ch, cw, syms, minv)
+        self._last_y_lev = (y_lev, int(pad_flags[0][0]),
+                            int(pad_flags[0][1]))
         out = self._postprocess(y_lev, int(pad_flags[0][0]),
                                 int(pad_flags[0][1]))
         return np.asarray(jax.device_get(out))
@@ -728,10 +747,29 @@ class Codec:
             out = self._decompress_host(streams, S, minmax, pad_flags, raw)
         return out, orig_h, orig_w
 
-    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
-        """Decode a bitstream list back to [1, H, W, 3] uint8 RGB."""
+    def decompress(self, streams: List[List[bytes]],
+                   xorg: Optional[np.ndarray] = None) -> np.ndarray:
+        """Decode a bitstream list back to [1, H, W, 3] uint8 RGB.
+
+        xorg: optional original RGB; when given, also verifies the
+        decoded YCoCg tensor BEFORE the inverse color transform against
+        the transform of the original (reference decompres(..., xorg),
+        LLICTI_nets.py:168-171) and records ``last_ycocg_err``.
+        """
         out, orig_h, orig_w = self.decompress_dispatch(streams)
         out = np.asarray(jax.device_get(out))
+        if xorg is not None:
+            y_lev, crop_h, crop_w = self._last_y_lev
+            if xorg.ndim == 3:
+                xorg = xorg[None]
+            H = y_lev.shape[1] * 2 - crop_h
+            W = y_lev.shape[2] * 2 - crop_w
+            xpad = np.pad(
+                xorg,
+                ((0, 0), (0, H - xorg.shape[1]), (0, W - xorg.shape[2]),
+                 (0, 0)), mode="edge")
+            self.last_ycocg_err = int(self._ycocg_err(
+                y_lev, jnp.asarray(xpad.astype(np.uint8)), crop_h, crop_w))
         return out[:, :orig_h, :orig_w, :]
 
     def decompress_many(self, streams_list) -> List[np.ndarray]:

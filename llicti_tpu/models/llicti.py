@@ -118,3 +118,20 @@ class LLICTIModel(nn.Module):
                         scale: int, band: int, clr: int) -> jnp.ndarray:
         """Per-color GMM params from a layer-0 base (clrjnt0seqmd)."""
         return self._band_model(scale, band).params_from_base(base, y_seq, clr)
+
+    def aux_loss(self) -> jnp.ndarray:
+        """Aggregated quantile aux loss over factorized-prior bottleneck
+        submodules (reference LLICTIBaseNet.aux_loss, LLICTI_nets.py:31-38).
+
+        Vestigial like the reference's: the live interpolator stack
+        contains no EntropyBottleneck, so the sum is empty (0.0); configs
+        that add ops.factorized.FactorizedPrior modules contribute their
+        .loss() here.
+        """
+        total = jnp.zeros(())
+        for bands in self.models:
+            for mdl in bands:
+                prior = getattr(mdl, "factorized_prior", None)
+                if prior is not None:
+                    total = total + prior.loss()
+        return total

@@ -29,8 +29,21 @@ class FactorizedPrior(nn.Module):
     channels: int
     filters: Tuple[int, ...] = (3, 3, 3, 3)
     init_scale: float = 10.0
+    tail_mass: float = 1e-9
 
     def setup(self):
+        # learned per-channel (lower-tail, median, upper-tail) quantile
+        # positions, pulled toward the tail_mass CDF levels by loss() —
+        # the EntropyBottleneck aux/quantile machinery the reference
+        # aggregates in aux_loss (LLICTI_nets.py:31-38)
+        self.quantiles = self.param(
+            "quantiles",
+            lambda rng, sh=(self.channels, 1, 3): jnp.tile(
+                jnp.array([-self.init_scale, 0.0, self.init_scale]),
+                (sh[0], 1, 1)))
+        self._setup_density()
+
+    def _setup_density(self):
         C = self.channels
         dims = (1,) + self.filters + (1,)
         scale = self.init_scale ** (1 / (len(self.filters) + 1))
@@ -51,15 +64,16 @@ class FactorizedPrior(nn.Module):
         self.biases = biases
         self.factors = factors
 
-    def _logits_cumulative(self, x):
+    def _logits_cumulative(self, x, stop_density: bool = False):
         """x: [C, 1, N] -> logits [C, 1, N]."""
+        sg = jax.lax.stop_gradient if stop_density else (lambda a: a)
         v = x
         K = len(self.matrices)
         for k in range(K):
-            H = jax.nn.softplus(self.matrices[k])
-            v = jnp.einsum("cij,cjn->cin", H, v) + self.biases[k]
+            H = jax.nn.softplus(sg(self.matrices[k]))
+            v = jnp.einsum("cij,cjn->cin", H, v) + sg(self.biases[k])
             if k < K - 1:
-                v = v + jnp.tanh(self.factors[k]) * jnp.tanh(v)
+                v = v + jnp.tanh(sg(self.factors[k])) * jnp.tanh(v)
         return v
 
     def likelihood(self, x):
@@ -81,3 +95,17 @@ class FactorizedPrior(nn.Module):
         C = self.channels
         pts = jnp.broadcast_to(points[None, None, :], (C, 1, points.shape[0]))
         return jax.nn.sigmoid(self._logits_cumulative(pts))[:, 0, :]
+
+    def loss(self):
+        """Quantile aux loss (EntropyBottleneck.loss analog): pulls the
+        learned quantiles to where the cumulative hits tail_mass/2, 0.5,
+        and 1-tail_mass/2.  Density params are stopped so only the
+        quantiles move (they only feed range estimation, not the rate)."""
+        t = jnp.log(2.0 / self.tail_mass - 1.0)
+        target = jnp.array([-t, 0.0, t])
+        logits = self._logits_cumulative(self.quantiles, stop_density=True)
+        return jnp.sum(jnp.abs(logits - target[None, None, :]))
+
+    def medians(self):
+        """Learned per-channel median positions [C]."""
+        return self.quantiles[:, 0, 1]

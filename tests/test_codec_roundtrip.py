@@ -184,3 +184,15 @@ def test_roundtrip_pallas_rans():
     streams = codec.compress(img)
     out = codec.decompress(streams)
     assert np.array_equal(out[0], img)
+
+
+def test_decompress_xorg_check():
+    """Pre-color-transform decode check (reference decompres(..., xorg),
+    LLICTI_nets.py:168-171): decoded YCoCg == transform(original)."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(24, 28, seed=21)
+    streams = codec.compress(img)
+    out = codec.decompress(streams, xorg=img)
+    assert np.array_equal(out[0], img)
+    assert codec.last_ycocg_err == 0

@@ -57,3 +57,48 @@ def test_self_information_trains():
     for _ in range(60):
         params, opt, l = step(params, opt)
     assert float(l) < l0 - 0.3, (l0, float(l))
+
+
+def test_quantile_aux_loss_converges():
+    """loss() pulls the learned quantiles toward the tail_mass CDF
+    levels while leaving the density weights untouched (EntropyBottleneck
+    aux/quantile machinery; reference aux_loss LLICTI_nets.py:31-38)."""
+    import optax
+
+    prior = FactorizedPrior(channels=2, init_scale=10.0,
+                            tail_mass=0.05)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((4, 2)))
+
+    def aux(params):
+        return prior.apply(params, method=FactorizedPrior.loss)
+
+    tx = optax.adam(0.5)
+    opt = tx.init(params)
+    l0 = float(aux(params))
+    g0 = jax.grad(aux)(params)
+    # density weights receive zero gradient from the aux loss
+    flat = jax.tree_util.tree_flatten_with_path(g0)[0]
+    for path, leaf in flat:
+        name = "/".join(str(p) for p in path)
+        if "quantiles" not in name:
+            assert float(jnp.abs(leaf).max()) == 0.0, name
+    for _ in range(300):
+        g = jax.grad(aux)(params)
+        upd, opt = tx.update(g, opt)
+        params = optax.apply_updates(params, upd)
+    l1 = float(aux(params))
+    assert l1 < l0 * 0.1, (l0, l1)
+    med = prior.apply(params, method=FactorizedPrior.medians)
+    assert jnp.all(jnp.isfinite(med))
+
+
+def test_model_aux_loss_zero_for_live_model():
+    from llicti_tpu.config import ModelConfig
+    from llicti_tpu.models.llicti import LLICTIModel
+
+    cfg = ModelConfig(chs=(8, 1), evens=(4, 4), odds=(3, 3),
+                      dwtlevels=(0, 1), useprevlevNN=(False, True))
+    model = LLICTIModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    val = model.apply(params, method=LLICTIModel.aux_loss)
+    assert float(val) == 0.0
