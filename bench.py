@@ -51,7 +51,26 @@ def main() -> None:
         pass
     on_tpu = jax.default_backend() == "tpu"
     codec = Codec(cfg, params, use_pallas_cdf=on_tpu)
-    img = synthetic_image(H, W, seed=42)
+    # real photographic test image when the corpus is built (bpsp then
+    # reflects the trained model on real data); synthetic fallback
+    img = None
+    test_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data_corpus", "test")
+    if os.path.isdir(test_dir):
+        try:
+            from llicti_tpu.data.dataset import load_rgb
+
+            for f in sorted(os.listdir(test_dir)):
+                full = load_rgb(os.path.join(test_dir, f))
+                if full.shape[0] >= H and full.shape[1] >= W:
+                    img = np.ascontiguousarray(full[:H, :W])
+                    print(f"bench image: {f} crop {img.shape}",
+                          file=sys.stderr)
+                    break
+        except Exception:
+            img = None
+    if img is None or img.shape[:2] != (H, W):
+        img = synthetic_image(H, W, seed=42)
 
     # warmup (compile)
     streams = codec.compress(img)
