@@ -50,7 +50,11 @@ def main() -> None:
     except FileNotFoundError:
         pass
     on_tpu = jax.default_backend() == "tpu"
-    codec = Codec(cfg, params, use_pallas_cdf=on_tpu)
+    # 1024 rANS lanes: halves the decode-scan step count vs 512 for
+    # +0.26% stream size (lane-state flush) — measured on v5e, see
+    # docs/PERF.md
+    codec = Codec(cfg, params, use_pallas_cdf=on_tpu,
+                  num_lanes=1024 if on_tpu else 512)
     # real photographic test image when the corpus is built (bpsp then
     # reflects the trained model on real data); synthetic fallback
     img = None

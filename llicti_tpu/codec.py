@@ -231,18 +231,22 @@ class Codec:
             return rd.cdf_float_to_cum_int32(
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
-        # ---- fused per-(scale, band) program -------------------------------
-        # ONE program runs conv -> 3x(CDF table -> rANS decode -> write-back).
-        # The encoder calls the *same executable* with ``enable=0``: the
-        # rANS scan is skipped via lax.cond and the decoded write-back is
-        # select()'d away, while the per-symbol (start, freq) pairs gathered
-        # at the true symbols come out for the encoder's chain.  Encoder and
-        # decoder therefore compute every CDF in the same compiled program —
-        # bit-exactness by construction (SURVEY.md §7 "hard parts") — and
-        # decode needs only ~4 dispatches per scale instead of ~22.
-        @partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
-        def scale_band_fn(params_, y_lev, words, states, offset, enable,
-                          scl, b, padH, padW, ranges, num_lanes):
+        # ---- fused per-SCALE program ---------------------------------------
+        # ONE program runs (interleave of the previous scale OR the raw-band
+        # init for the coarsest) -> conv -> 9x(CDF table -> rANS decode ->
+        # write-back) for all 3 bands x 3 colors of a scale, plus the final
+        # inverse color transform for scale 0.  The encoder calls the *same
+        # executable* with ``enable=0``: rANS scans are skipped via lax.cond,
+        # decoded write-backs are select()'d away, and the per-symbol
+        # (start, freq) pairs gathered at the true symbols come out for the
+        # encoder's chain.  Encoder and decoder therefore compute every CDF
+        # in the same compiled program — bit-exactness by construction
+        # (SURVEY.md §7 "hard parts") — and decode needs ~S+1 dispatches per
+        # image (the reference crosses host boundaries 90x): on a tunneled
+        # TPU the per-dispatch RPC dominates, so fewer, bigger programs win
+        # (measured in docs/PERF.md).
+        def _band_body(params_, y_lev, words, states, offset, enable, sf,
+                       scl, b, padH, padW, ranges, num_lanes):
             if seqmd:
                 base = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                         scl, b, method=LLICTIModel.band_base)
@@ -254,7 +258,6 @@ class Codec:
             ch_, cw = band_coded_shape(h, w, b, padH, padW)
             n = ch_ * cw
             bucket = max(64, -(-n // 4096) * 4096)
-            sf = []
             on = enable > 0
             for clr in range(3):
                 if seqmd:
@@ -315,7 +318,48 @@ class Codec:
                 cur = y_lev[..., sym_ch(b, clr)]
                 y_lev = y_lev.at[..., sym_ch(b, clr)].set(
                     jnp.where(on, vals, cur))
-            return y_lev, states, offset, tuple(sf)
+            return y_lev, states, offset
+
+        @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+        def scale_fn(params_, y_prev, y_direct, words, states, offset,
+                     enable, scl, prev_crop, padH, padW, ranges, num_lanes):
+            """Decode-or-encode one whole scale in one executable.
+
+            y_prev: the previous (coarser) decoded scale tensor — or the
+            raw uint8 header band for the coarsest scale.  y_direct: the
+            encoder's precomputed y_list[scl] (dummy zeros when decoding).
+            A runtime select between the two keeps both directions inside
+            the SAME executable, so CDF floats cannot diverge.
+            """
+            S = cfg.num_scales
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            if scl == S - 1:
+                ycocg = rgb_int_to_ycocg_r_int(y_prev.astype(jnp.int32))
+                x00 = (ycocg - shift).astype(jnp.float32) * INV255
+                h, w = x00.shape[1], x00.shape[2]
+                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+                y0 = y0.at[..., clr_off:clr_off + 3].set(x00)
+            else:
+                x00 = interleave_scale(y_prev, c, prev_crop[0], prev_crop[1])
+                h, w = x00.shape[1], x00.shape[2]
+                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+                y0 = y0.at[..., 0:c].set(x00)
+            on = enable > 0
+            y_lev = jnp.where(on, y0, y_direct)
+            sf = []
+            for b in range(3):
+                y_lev, states, offset = _band_body(
+                    params_, y_lev, words, states, offset, enable, sf,
+                    scl, b, padH, padW, ranges, num_lanes)
+            if scl == 0:
+                # final interleave + inverse color transform fused in
+                y_c = interleave_scale(y_lev, c, padH, padW)
+                y_3ch = y_c[..., clr_off:clr_off + 3]
+                ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
+                rgb = ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
+            else:
+                rgb = jnp.zeros((1, 1, 1, 3), jnp.uint8)
+            return y_lev, states, offset, tuple(sf), rgb
 
         # ---- front end (encode): one program per image shape -------------
         # input is uint8 (1 B/subpixel on the host link); int cast on device
@@ -407,7 +451,7 @@ class Codec:
 
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
-        self._scale_band = scale_band_fn
+        self._scale_fn = scale_fn
         self._front = front_fn
         self._gather_lohi = gather_lohi_fn
         self._writeback = writeback_fn
@@ -417,6 +461,26 @@ class Codec:
         self._postprocess = postprocess_fn
         self._ycocg_err = ycocg_err_fn
         self._last_y_lev = None  # finest decoded scale (for xorg check)
+        # read-only constant device buffers (dummy words/states, scalar
+        # flags), cached so steady-state encode/decode dispatches no
+        # buffer-creation ops
+        self._const_cache: Dict = {}
+
+    def _const(self, kind, shape=(), fill=0):
+        key = (kind, shape, fill)
+        if key not in self._const_cache:
+            if kind == "zeros_u16":
+                v = jnp.zeros(shape, jnp.uint16)
+            elif kind == "zeros_f32":
+                v = jnp.zeros(shape, jnp.float32)
+            elif kind == "full_u32":
+                v = jnp.full(shape, fill, jnp.uint32)
+            elif kind == "i32":
+                v = jnp.int32(fill)
+            else:
+                raise KeyError(kind)
+            self._const_cache[key] = v
+        return self._const_cache[key]
 
     # ------------------------------------------------------------------
     def _clr_range(self, clr: int, minmax: Sequence[int]) -> Tuple[int, int]:
@@ -497,7 +561,8 @@ class Codec:
                                pad_int, raw)]
 
         if self.backend == "device":
-            return self._compress_device(streams, y_list, minmax, pad_flags)
+            return self._compress_device(streams, y_list, x00_raw, minmax,
+                                         pad_flags)
         return self._compress_host(streams, y_list, minmax, pad_flags)
 
     # ---- device backend ------------------------------------------------
@@ -516,7 +581,7 @@ class Codec:
     def _ranges(self, minmax):
         return tuple(self._clr_range(clr, minmax) for clr in range(3))
 
-    def _encode_dispatch(self, y_list, minmax, pad_flags):
+    def _encode_dispatch(self, y_list, x00_raw, minmax, pad_flags):
         """Enqueue one image's encode; returns device handles only (no
         host sync), so several images' encodes can be pipelined."""
         cfg = self.cfg
@@ -526,22 +591,32 @@ class Codec:
         last_w = y_list[S - 1].shape[2]
         cap = self._words_cap(S, last_h, last_w, pad_flags)
         # dummies matching the decoder's shapes: the fused program is the
-        # *same executable* for both directions (enable=0 skips the scan)
-        dummy_words = self._pad_words(jnp.zeros((16384,), jnp.uint16), cap)
-        dummy_states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
-        zero = jnp.int32(0)
-        # gather per-slice (start, freq) in decode order
+        # *same executable* for both directions (enable=0 skips the scan);
+        # cached read-only buffers, so no per-image creation dispatches
+        dummy_words = self._const("zeros_u16", (cap,))
+        dummy_states = self._const("full_u32", (self.N,), rd.RANS_L)
+        zero = self._const("i32", fill=0)
+        # gather per-slice (start, freq) in decode order; the encoder
+        # passes its own precomputed tensors as BOTH y_prev and y_direct
+        # (the runtime select discards the interleave path)
         slice_sf = []  # (starts, freqs) device arrays
         slice_meta = []  # (scl, b, clr)
         for scl in range(S - 1, -1, -1):
-            y_lev = y_list[scl]
+            if scl == S - 1:
+                y_prev = x00_raw
+                prev_crop = (0, 0)
+            else:
+                y_prev = y_list[scl + 1]
+                prev_crop = (int(pad_flags[scl + 1][0]),
+                             int(pad_flags[scl + 1][1]))
             padH, padW = pad_flags[scl]
+            _y, _st, _off, sf, _rgb = self._scale_fn(
+                self.params, y_prev, y_list[scl], dummy_words, dummy_states,
+                zero, zero, scl, prev_crop, padH, padW, ranges, self.N)
             for b in range(3):
-                _ylev, _st, _off, sf = self._scale_band(
-                    self.params, y_lev, dummy_words, dummy_states, zero,
-                    zero, scl, b, padH, padW, ranges, self.N)
                 for clr in range(3):
-                    slice_sf.append((sf[2 * clr], sf[2 * clr + 1]))
+                    i = 2 * (b * 3 + clr)
+                    slice_sf.append((sf[i], sf[i + 1]))
                     slice_meta.append((scl, b, clr))
         # chained rANS encode in reverse decode order, one program per
         # scale (9 slices each), all writing into one shared (donated)
@@ -549,9 +624,9 @@ class Codec:
         enc_cap = sum(-(-int(st.shape[0]) // self.N) * self.N
                       for st, _ in slice_sf) + self.N
         enc_cap = -(-enc_cap // 65536) * 65536
-        states = jnp.full(self.N, rd.RANS_L, jnp.uint32)
-        buf = jnp.zeros(enc_cap, jnp.int32)
-        cursor = jnp.int32(0)
+        states = self._const("full_u32", (self.N,), rd.RANS_L)
+        buf = jnp.zeros(enc_cap, jnp.int32)  # donated by the chain
+        cursor = self._const("i32", fill=0)
         cursors = []
         rev = list(reversed(slice_sf))
         for i in range(0, len(rev), 9):
@@ -581,9 +656,9 @@ class Codec:
         ]
         return streams
 
-    def _compress_device(self, streams, y_list, minmax, pad_flags):
+    def _compress_device(self, streams, y_list, x00_raw, minmax, pad_flags):
         slice_meta, cursors, states, buf = self._encode_dispatch(
-            y_list, minmax, pad_flags)
+            y_list, x00_raw, minmax, pad_flags)
         cursors_np, states_np = jax.device_get((cursors, states))
         total = int(cursors_np[-1])
         bucket = min(buf.shape[0], -(-max(1, total) // 65536) * 65536)
@@ -608,7 +683,7 @@ class Codec:
                            orig_h, orig_w))
         mms = jax.device_get([(s[1], s[2]) for s in stage1])
         stage2 = []
-        for (y_list, _, _, pad_flags, pad_int, orig_h, orig_w), (
+        for (y_list, _, x00_raw, pad_flags, pad_int, orig_h, orig_w), (
                 mm_np, x00_np) in zip(stage1, mms):
             min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
             minmax = [0, min_co, min_cg, 255, max_co, max_cg]
@@ -618,7 +693,7 @@ class Codec:
                                           minmax, pad_int,
                                           np.asarray(x00_np).tobytes())]
             meta, cursors, states, buf = self._encode_dispatch(
-                y_list, minmax, pad_flags)
+                y_list, x00_raw, minmax, pad_flags)
             stage2.append((streams, meta, cursors, states, buf))
         got = jax.device_get([(s[2], s[3]) for s in stage2])
         bufs = []
@@ -648,22 +723,31 @@ class Codec:
             np.pad(words_np.astype(np.uint16), (0, up - words_np.size)))
         cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
         words = self._pad_words(w_small, cap)
-        offset = jnp.int32(0)
-        one = jnp.int32(1)
-        y_lev = self._init_scale(jnp.asarray(raw))
+        offset = self._const("i32", fill=0)
+        one = self._const("i32", fill=1)
+        c4 = 4 * self.cfg.cond_channels
+        shapes = dict((scl, (h, w)) for scl, h, w in
+                      self._scale_shapes(S, raw.shape[1], raw.shape[2],
+                                         pad_flags))
+        y_lev = None
+        rgb = None
         for scl in range(S - 1, -1, -1):
-            if scl != S - 1:
-                y_lev = self._next_scale(y_lev, int(pad_flags[scl + 1][0]),
-                                         int(pad_flags[scl + 1][1]))
+            if scl == S - 1:
+                y_prev = jnp.asarray(raw)
+                prev_crop = (0, 0)
+            else:
+                y_prev = y_lev
+                prev_crop = (int(pad_flags[scl + 1][0]),
+                             int(pad_flags[scl + 1][1]))
             padH, padW = pad_flags[scl]
-            for b in range(3):
-                y_lev, states, offset, _sf = self._scale_band(
-                    self.params, y_lev, words, states, offset, one,
-                    scl, b, padH, padW, ranges, self.N)
+            h, w = shapes[scl]
+            y_direct = self._const("zeros_f32", (1, h, w, c4))
+            y_lev, states, offset, _sf, rgb = self._scale_fn(
+                self.params, y_prev, y_direct, words, states, offset, one,
+                scl, prev_crop, padH, padW, ranges, self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
-        return self._postprocess(y_lev, int(pad_flags[0][0]),
-                                 int(pad_flags[0][1]))
+        return rgb
 
     # ---- host backend --------------------------------------------------
     def _compress_host(self, streams, y_list, minmax, pad_flags):
