@@ -146,7 +146,6 @@ class Codec:
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",
                  num_lanes: int = 512, num_threads: int = 8,
                  use_pallas_cdf: bool = False,
-                 use_pallas_rans: bool = False,
                  size_bucket: int = 0):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2), (
             "codec path requires clrchs=3 (reference codes only clrjnt=2; "
@@ -298,11 +297,6 @@ class Codec:
 
                 def dec(args, cum2=cum2, n=n):
                     w_, s_, o_ = args
-                    if use_pallas_rans:
-                        from .coder.rans_pallas import rans_decode_pallas
-
-                        return rans_decode_pallas(cum2, w_, s_, o_,
-                                                  num_lanes, n)
                     return rd.rans_decode_body(cum2, w_, s_, o_,
                                                num_lanes, n)
 
