@@ -173,19 +173,6 @@ def test_pipelined_many_roundtrip():
         assert np.array_equal(out[0], im)
 
 
-def test_roundtrip_pallas_rans():
-    """End-to-end losslessness with the Pallas rANS decode kernel."""
-    cfg = small_cfg()
-    model = LLICTIModel(cfg=cfg)
-    x = jnp.zeros((1, 16, 16, 3))
-    params = model.init(jax.random.PRNGKey(0), x)
-    codec = Codec(cfg, params, num_lanes=128, use_pallas_rans=True)
-    img = natural_image(40, 28, seed=21)
-    streams = codec.compress(img)
-    out = codec.decompress(streams)
-    assert np.array_equal(out[0], img)
-
-
 def test_decompress_xorg_check():
     """Pre-color-transform decode check (reference decompres(..., xorg),
     LLICTI_nets.py:168-171): decoded YCoCg == transform(original)."""
