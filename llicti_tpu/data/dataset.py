@@ -17,8 +17,8 @@ benches without any image files.
 from __future__ import annotations
 
 import os
-import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -246,53 +246,61 @@ class TrainLoader:
             order = rng.permutation(order)
         bs = self.batch_size * self.grad_acc
         n_steps = len(order) // bs
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def worker():
-            try:
+        def make_batch(s: int) -> np.ndarray:
+            # batch content is keyed only by (seed, epoch, s): identical
+            # regardless of how many threads build it (reference uses
+            # dl_numworkers torch DataLoader workers, image_dl.py:33-39)
+            idxs = order[s * bs:(s + 1) * bs]
+            srng = np.random.default_rng((self.seed, self.epoch, s))
+            patches = [
+                random_patch(self.ds.get(int(i)), self.patch_size, srng)
+                for i in idxs
+            ]
+            batch = np.stack(patches).astype(np.float32) / 255.0
+            return batch.reshape(self.grad_acc, self.batch_size,
+                                 self.patch_size, self.patch_size, 3)
+
+        window = self.prefetch + max(1, self.num_threads)
+        if n_steps:
+            with ThreadPoolExecutor(max(1, self.num_threads)) as pool:
+                futs = {s: pool.submit(make_batch, s)
+                        for s in range(min(window, n_steps))}
                 for s in range(n_steps):
-                    if stop.is_set():
-                        return
-                    idxs = order[s * bs:(s + 1) * bs]
-                    srng = np.random.default_rng(
-                        (self.seed, self.epoch, s))
-                    patches = [
-                        random_patch(self.ds.get(int(i)), self.patch_size, srng)
-                        for i in idxs
-                    ]
-                    batch = np.stack(patches).astype(np.float32) / 255.0
-                    batch = batch.reshape(self.grad_acc, self.batch_size,
-                                          self.patch_size, self.patch_size, 3)
-                    q.put(batch)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    break
-                yield batch
-        finally:
-            stop.set()
+                    batch = futs.pop(s).result()
+                    nxt = s + window
+                    if nxt < n_steps:
+                        futs[nxt] = pool.submit(make_batch, nxt)
+                    yield batch
         self.epoch += 1
 
 
 class EvalLoader:
-    """Sequential full/center-cropped images, batch of 1 (like reference
-    test/valid loaders, image_dl.py:40-51)."""
+    """Sequential full/center-cropped images (reference test/valid loaders,
+    image_dl.py:40-51).  ``batch_size`` > 1 stacks consecutive same-shape
+    images (the reference's val loader honors val_batch_size with a fixed
+    CenterCrop; with full-size ragged images we flush at shape changes
+    instead of crashing like torch's default collate would)."""
 
-    def __init__(self, dataset: ImageDataset, patch_size: int = 0):
+    def __init__(self, dataset: ImageDataset, patch_size: int = 0,
+                 batch_size: int = 1):
         self.ds = dataset
         self.patch_size = patch_size
+        self.batch_size = max(1, batch_size)
 
     def __iter__(self):
+        buf: List[np.ndarray] = []
         for i in range(len(self.ds)):
             img = center_crop(self.ds.get(i), self.patch_size)
-            yield img[None].astype(np.float32) / 255.0
+            if buf and buf[0].shape != img.shape:
+                yield np.stack(buf).astype(np.float32) / 255.0
+                buf = []
+            buf.append(img)
+            if len(buf) == self.batch_size:
+                yield np.stack(buf).astype(np.float32) / 255.0
+                buf = []
+        if buf:
+            yield np.stack(buf).astype(np.float32) / 255.0
 
     def iter_uint8(self):
         for i in range(len(self.ds)):

@@ -26,7 +26,8 @@ from ..codec import Codec
 from ..config import LLICTIConfig
 from ..data.dataset import EvalLoader, ImageDataset, TrainLoader
 from ..models.llicti import LLICTIModel
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.train import make_parallel_train_step, shard_state
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging_utils import RateLogger, setup_logging
 from ..utils.notify import Notifier
@@ -54,8 +55,13 @@ class Trainer:
         setup_logging(config.log_dir)
         self.logger = logging.getLogger("Agent")
         self.model = LLICTIModel(cfg=cfg)
+        # num_data_shards > 1 requests DP over that many devices even when
+        # the caller didn't pass use_mesh (no silently-ignored knobs)
+        if mesh is None and not use_mesh and tc.num_data_shards > 1:
+            use_mesh = True
         self.mesh = mesh if mesh is not None else (
-            make_mesh() if use_mesh else None)
+            make_mesh(data=tc.num_data_shards if tc.num_data_shards > 1
+                      else None) if use_mesh else None)
 
         # datasets
         dc = config.data
@@ -73,8 +79,10 @@ class Trainer:
             test_ds = ImageDataset([dc.test_dir])
         self.train_loader = TrainLoader(
             train_ds, tc.batch_size, tc.patch_size, tc.grad_acc_iters,
-            tc.patches_per_img, seed=tc.seed)
-        self.valid_loader = EvalLoader(valid_ds, tc.val_patch_size)
+            tc.patches_per_img, seed=tc.seed,
+            num_threads=max(1, dc.dl_numworkers))
+        self.valid_loader = EvalLoader(valid_ds, tc.val_patch_size,
+                                       batch_size=tc.val_batch_size)
         self.test_loader = EvalLoader(test_ds, 0)
 
         # state
@@ -84,17 +92,13 @@ class Trainer:
         self.state, self.tx = init_state(
             self.model, cfg, jax.random.PRNGKey(tc.seed), sample[0],
             tc.learning_rate, tc.grad_clip_value)
-        step_fn = make_train_step(self.model, self.tx)
         if self.mesh is not None:
-            repl = replicated(self.mesh)
-            bsh = batch_sharding(self.mesh, has_acc_axis=True)
-            self.state = jax.tree.map(
-                lambda x: jax.device_put(x, repl), self.state)
-            self.train_step = jax.jit(step_fn, in_shardings=(repl, bsh),
-                                      out_shardings=(repl, repl))
-            self.batch_sharding = bsh
+            self.state = shard_state(self.state, self.mesh)
+            self.train_step = make_parallel_train_step(
+                self.model, self.tx, self.mesh)
+            self.batch_sharding = batch_sharding(self.mesh, has_acc_axis=True)
         else:
-            self.train_step = jax.jit(step_fn)
+            self.train_step = jax.jit(make_train_step(self.model, self.tx))
             self.batch_sharding = None
         self.eval_step = jax.jit(make_eval_step(self.model))
 
@@ -233,7 +237,8 @@ class Trainer:
             self.current_iteration += 1
             if (self.current_iteration + 1) % tc.loss_prnt_iters == 0:
                 self.trnit_logger.display(lr=get_learning_rate(self.state),
-                                          typ="it")
+                                          typ="it",
+                                          epoch=self.current_iteration)
                 valid_loss = self.validate()
                 is_best = valid_loss < self.best_valid_loss
                 if is_best:
@@ -243,7 +248,7 @@ class Trainer:
                 break
         if self.train_logger.rates:
             self.train_logger.display(lr=get_learning_rate(self.state),
-                                      typ="tr")
+                                      typ="tr", epoch=self.current_epoch)
 
     def validate(self) -> float:
         mult = 2 ** (max(self.config.model.dwtlevels) + 1)
@@ -251,7 +256,8 @@ class Trainer:
             batch = pad_to_multiple(batch, mult)
             _, bd = self.eval_step(self.state.params, jnp.asarray(batch))
             self.valid_logger(np.asarray(bd))
-        loss, _ = self.valid_logger.display(typ="va")
+        loss, _ = self.valid_logger.display(typ="va",
+                                            epoch=self.current_epoch)
         new_lr = self.scheduler.step(loss)
         if abs(new_lr - get_learning_rate(self.state)) > 1e-12:
             self.state = set_learning_rate(self.state, new_lr)

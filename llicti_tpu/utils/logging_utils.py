@@ -85,7 +85,6 @@ class RateLogger:
         self.rates = []
 
     def mean(self) -> np.ndarray:
-        self.current_epoch += 1
         m = np.stack(self.rates).mean(axis=0)
         self.reset()
         return m
@@ -102,9 +101,17 @@ class RateLogger:
         self.current_iteration = d["it"]
         self.current_epoch = d["ep"]
 
-    def display(self, lr: float = 0.0, typ: str = "tr"):
+    def display(self, lr: float = 0.0, typ: str = "tr",
+                epoch: Optional[int] = None):
+        """Render the accumulated mean table.  ``epoch`` labels the header;
+        when omitted, epoch-typed displays bump an internal counter (the
+        reference bumped it on EVERY display, so per-N-iteration 'it'
+        tables inflated the epoch label — fixed here)."""
         rate = self.mean()
-        self._log_table(self.current_epoch, rate, lr, typ)
+        if epoch is None and typ != "it":
+            self.current_epoch += 1
+        label = self.current_epoch if epoch is None else epoch
+        self._log_table(label, rate, lr, typ)
         return float(np.sum(rate)), 0.0
 
     def _log_table(self, cur_iter: int, rate: np.ndarray, lr: float,

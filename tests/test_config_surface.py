@@ -86,3 +86,77 @@ def test_ent_mdl_num_stubs_rejected():
 def test_bad_distribution_rejected():
     with pytest.raises(NotImplementedError, match="distribution"):
         ModelConfig(distribution="cauchy")
+
+
+# --- TrainConfig / DataConfig surface (reference image_dl.py:33-44) ---------
+
+
+def test_dl_numworkers_deterministic():
+    """Batches are keyed by (seed, epoch, step): identical for any
+    worker-thread count (the torch analog reorders under >0 workers; we
+    keep order AND determinism)."""
+    from llicti_tpu.data.dataset import ImageDataset, TrainLoader
+
+    ds = ImageDataset(synthetic_len=24, synthetic_size=48, seed=0)
+    a = list(TrainLoader(ds, batch_size=4, patch_size=32, grad_acc=2,
+                         seed=7, num_threads=1))
+    b = list(TrainLoader(ds, batch_size=4, patch_size=32, grad_acc=2,
+                         seed=7, num_threads=3))
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_val_batch_size_batches():
+    from llicti_tpu.data.dataset import EvalLoader, ImageDataset
+
+    ds = ImageDataset(synthetic_len=6, synthetic_size=64, seed=0)
+    batches = list(EvalLoader(ds, patch_size=32, batch_size=4))
+    assert [b.shape[0] for b in batches] == [4, 2]
+    assert batches[0].shape[1:] == (32, 32, 3)
+    # batch 1 unchanged default
+    singles = list(EvalLoader(ds, patch_size=32))
+    assert [b.shape[0] for b in singles] == [1] * 6
+
+
+def test_val_batch_ragged_flush():
+    """Full-size (patch 0) images of different shapes flush at shape
+    boundaries instead of crashing the stack."""
+    from llicti_tpu.data.dataset import EvalLoader, ImageDataset
+
+    class Ragged(ImageDataset):
+        def __init__(self):
+            super().__init__(synthetic_len=5, synthetic_size=64, seed=0)
+
+        def get(self, i):
+            img = super().get(i)
+            return img[: 32 + 8 * (i // 2)]  # 32,32,40,40,48
+
+    batches = list(EvalLoader(Ragged(), patch_size=0, batch_size=8))
+    assert [b.shape[:2] for b in batches] == [(2, 32), (2, 40), (1, 48)]
+
+
+def test_trainer_wires_loader_knobs(tmp_path):
+    """dl_numworkers reaches TrainLoader, val_batch_size reaches
+    EvalLoader, num_data_shards builds a DP mesh."""
+    from llicti_tpu.config import (DataConfig, LLICTIConfig, TrainConfig,
+                                   config_from_dict)
+    from llicti_tpu.training.trainer import Trainer
+
+    cfg = LLICTIConfig(
+        exp_name="knobs", mode="train",
+        model=tiny_cfg(),
+        train=TrainConfig(batch_size=2, patch_size=32, grad_acc_iters=1,
+                          val_batch_size=3, num_data_shards=2),
+        data=DataConfig(synthetic=True, synthetic_len=8, dl_numworkers=3),
+        experiments_root=str(tmp_path),
+    )
+    tr = Trainer(cfg)
+    assert tr.train_loader.num_threads == 3
+    assert tr.valid_loader.batch_size == 3
+    assert tr.mesh is not None
+    assert dict(zip(tr.mesh.axis_names, tr.mesh.devices.shape))["data"] == 2
+    # reference-key JSON path carries the knobs too
+    c2 = config_from_dict({"dl_numworkers": 5, "val_batch_size": 7})
+    assert c2.data.dl_numworkers == 5
+    assert c2.train.val_batch_size == 7

@@ -154,6 +154,19 @@ def main() -> None:
         state = set_learning_rate(state, sched.lr)
         print(f"resumed at step {int(state.step)} "
               f"(best_val {best_val:.4f}, lr {sched.lr:.2e})", flush=True)
+    elif args.bench_out and CheckpointManager(args.bench_out).exists("bench"):
+        # Warm start: no full TrainState survives (experiments/ is not
+        # committed), but the best exported params do.  Adam moments
+        # rebuild within a few hundred steps; the step counter resumes
+        # from the export's step so budgets/logs stay cumulative.
+        params, meta = CheckpointManager(args.bench_out).load(
+            "bench", state.params)
+        state = state._replace(
+            params=params,
+            step=jnp.asarray(int(meta.get("steps", 0)), jnp.int32))
+        best_val = float(meta.get("final_rate", best_val))
+        print(f"warm-started from {args.bench_out} at step "
+              f"{int(state.step)} (best_val {best_val:.4f})", flush=True)
 
     def validate(params) -> float:
         tot = []
