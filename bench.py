@@ -39,6 +39,7 @@ def main() -> None:
 
     init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), init_x)
+    meta = {}
     # use trained params when available (tools/train_bench_ckpt.py)
     ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_ckpt")
@@ -113,24 +114,60 @@ def main() -> None:
         t0 = time.time()
         streams_list = codec.compress_many([img] * n_pipe)
         enc_pipe_t = min(enc_pipe_t, (time.time() - t0) / n_pipe)
+    act_bits = sum(sum(row) for row in codec.last_slice_bits)
+    # batch-container mode (K images, ONE K-batched executable both ways):
+    # the serving path for same-size tile shards
+    K = 4
+    bstreams = codec.compress_batch([img] * K)  # warm
+    bouts = codec.decompress_batch(bstreams)
+    ok_batch = all(np.array_equal(o, img) for o in bouts)
+    benc_t = bdec_t = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        bstreams = codec.compress_batch([img] * K)
+        benc_t = min(benc_t, (time.time() - t0) / K)
+        t0 = time.time()
+        bouts = codec.decompress_batch(bstreams)
+        bdec_t = min(bdec_t, (time.time() - t0) / K)
     if profile_dir:
         jax.profiler.stop_trace()
     ref_blob = Codec.serialize(streams)
     ok = (ok and all(np.array_equal(o[0], img) for o in outs)
-          and all(Codec.serialize(s) == ref_blob for s in streams_list))
+          and all(Codec.serialize(s) == ref_blob for s in streams_list)
+          and ok_batch)
 
     mp = H * W / 1e6
     bpsp = Codec.num_bytes(streams) * 8 / img.size
-    dec_mps = mp / pipe_t
+    dec_mps = max(mp / pipe_t, mp / bdec_t)
     baseline_dec_mps = 0.60  # reference: ~0.65 s for 512x768 (BASELINE.md)
+
+    # estimate-vs-actual rate cross-check on the REAL weights on the real
+    # chip (reference's third verification leg, rate_dist.py:97-135): the
+    # differentiable estimate must track the coded bits
+    est_fn = jax.jit(lambda p, x: sum(
+        jnp.sum(si) for si in model.apply(p, x)))
+    est_bits = float(est_fn(params, jnp.asarray(
+        img[None].astype(np.float32) / 255.0)))
+    gap_pct = (act_bits - est_bits) / max(est_bits, 1) * 100
+    trained = "steps" in (meta if isinstance(meta, dict) else {})
+    if trained and abs(gap_pct) > 2.0:
+        print(f"FAIL: est-vs-actual rate gap {gap_pct:+.2f}% exceeds 2% "
+              f"(est {est_bits/img.size:.4f} vs act "
+              f"{act_bits/img.size:.4f} bpsp)", file=sys.stderr)
+        sys.exit(1)
 
     print(
         f"encode {mp/enc_t:.2f} MP/s ({enc_t*1000:.0f} ms) | "
         f"encode pipelined {mp/enc_pipe_t:.2f} MP/s "
         f"({enc_pipe_t*1000:.0f} ms/img) | "
+        f"encode batched(K={K}) {mp/benc_t:.2f} MP/s "
+        f"({benc_t*1000:.0f} ms/img) | "
         f"decode latency {mp/dec_t:.2f} MP/s ({dec_t*1000:.0f} ms) | "
-        f"decode pipelined {dec_mps:.2f} MP/s ({pipe_t*1000:.0f} ms/img) | "
-        f"bpsp {bpsp:.3f} | lossless={ok} | device={jax.devices()[0]}",
+        f"decode pipelined {mp/pipe_t:.2f} MP/s ({pipe_t*1000:.0f} ms/img) | "
+        f"decode batched(K={K}) {mp/bdec_t:.2f} MP/s "
+        f"({bdec_t*1000:.0f} ms/img) | "
+        f"bpsp {bpsp:.3f} | est/act gap {gap_pct:+.2f}% | lossless={ok} | "
+        f"device={jax.devices()[0]}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -230,22 +230,13 @@ class Codec:
             return rd.cdf_float_to_cum_int32(
                 _cdf_float(pmap, y_lev, b, clr, minv, maxv))
 
-        # ---- fused per-SCALE program ---------------------------------------
-        # ONE program runs (interleave of the previous scale OR the raw-band
-        # init for the coarsest) -> conv -> 9x(CDF table -> rANS decode ->
-        # write-back) for all 3 bands x 3 colors of a scale, plus the final
-        # inverse color transform for scale 0.  The encoder calls the *same
-        # executable* with ``enable=0``: rANS scans are skipped via lax.cond,
-        # decoded write-backs are select()'d away, and the per-symbol
-        # (start, freq) pairs gathered at the true symbols come out for the
-        # encoder's chain.  Encoder and decoder therefore compute every CDF
-        # in the same compiled program — bit-exactness by construction
-        # (SURVEY.md §7 "hard parts") — and decode needs ~S+1 dispatches per
-        # image (the reference crosses host boundaries 90x): on a tunneled
-        # TPU the per-dispatch RPC dominates, so fewer, bigger programs win
-        # (measured in docs/PERF.md).
+        # ---- per-band traceable body (composed into the image program) -----
+        # conv -> 3x(CDF table -> (start,freq) extraction [encode, cond] ->
+        # rANS decode scan [decode, cond] -> write-back select).
         def _band_body(params_, y_lev, words, states, offset, enable, sf,
                        scl, b, padH, padW, ranges, num_lanes):
+            """Batch-generic: y_lev [K,h,w,4c], words [K,cap],
+            states [K,N], offset [K]."""
             if seqmd:
                 base = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                         scl, b, method=LLICTIModel.band_base)
@@ -253,7 +244,7 @@ class Codec:
                 pmap = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                         scl, b,
                                         method=LLICTIModel.band_params)
-            h, w = y_lev.shape[1], y_lev.shape[2]
+            K, h, w = y_lev.shape[0], y_lev.shape[1], y_lev.shape[2]
             ch_, cw = band_coded_shape(h, w, b, padH, padW)
             n = ch_ * cw
             bucket = max(64, -(-n // 4096) * 4096)
@@ -282,31 +273,32 @@ class Codec:
                     iota = jnp.arange(cc.shape[-1], dtype=jnp.int32)
                     lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
                     hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0), axis=-1)
-                    return (jnp.pad(lo.reshape(-1), (0, bucket - n)),
-                            jnp.pad((hi - lo).reshape(-1), (0, bucket - n)))
+                    padn = ((0, 0), (0, bucket - n))
+                    return (jnp.pad(lo.reshape(K, -1), padn),
+                            jnp.pad((hi - lo).reshape(K, -1), padn))
 
                 def no_sf(cc, bucket=bucket):
-                    z = jnp.zeros((bucket,), jnp.int32)
+                    z = jnp.zeros((K, bucket), jnp.int32)
                     return z, z
 
                 st_arr, fr_arr = jax.lax.cond(on, no_sf, enc_sf, cc)
                 sf.append(st_arr)
                 sf.append(fr_arr)
                 # decode-side: rANS scan under cond (skipped when encoding)
-                cum2 = cc.reshape(n, -1)
+                cum2 = cc.reshape(K, n, -1)
 
                 def dec(args, cum2=cum2, n=n):
                     w_, s_, o_ = args
-                    return rd.rans_decode_body(cum2, w_, s_, o_,
-                                               num_lanes, n)
+                    return rd.rans_decode_body_batch(cum2, w_, s_, o_,
+                                                     num_lanes, n)
 
                 def skip(args, n=n):
                     _w, s_, o_ = args
-                    return jnp.zeros((n,), jnp.int32), s_, o_
+                    return jnp.zeros((K, n), jnp.int32), s_, o_
 
                 syms, states, offset = jax.lax.cond(
                     on, dec, skip, (words, states, offset))
-                vals = (syms.reshape(1, ch_, cw) + minv).astype(
+                vals = (syms.reshape(K, ch_, cw) + minv).astype(
                     jnp.float32) * INV255
                 vals = pad_decoded_band(vals[..., None], b, padH, padW)[..., 0]
                 cur = y_lev[..., sym_ch(b, clr)]
@@ -314,55 +306,112 @@ class Codec:
                     jnp.where(on, vals, cur))
             return y_lev, states, offset
 
-        @partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
-        def scale_fn(params_, y_prev, y_direct, words, states, offset,
-                     enable, scl, prev_crop, padH, padW, ranges, num_lanes):
-            """Decode-or-encode one whole scale in one executable.
+        # ---- fused whole-IMAGE program --------------------------------------
+        # ONE executable decodes (or encodes) the entire image: for every
+        # scale coarse->fine, (raw-band init OR interleave of the previous
+        # scale) -> conv -> 9x(CDF table -> rANS decode -> write-back),
+        # then the final inverse color transform, and — encode side — the
+        # chained rANS encode of all 45 slices in reverse decode order.
+        # Both directions call the SAME executable (enable selects at
+        # runtime): the decoder skips the (start,freq) extraction and the
+        # encode chain under lax.cond, the encoder skips the decode scans.
+        # Encoder and decoder therefore compute every CDF in the same
+        # compiled program — bit-exactness by construction (SURVEY.md §7
+        # "hard parts") — and a full decode is TWO dispatches (stream pad +
+        # this program) vs the reference's 90 host crossings: on a tunneled
+        # TPU the per-dispatch RPC dominates, so one big program wins for
+        # latency (decomposition in docs/PERF.md).
+        @partial(jax.jit, static_argnums=(6, 7, 8))
+        def image_fn(params_, x00_raw, y_direct, words, states, enable,
+                     pad_flags_t, ranges, num_lanes):
+            """Batch-generic over a leading K axis (K=1 for single images;
+            batched encode/decode shares the convs' batch dimension and one
+            scan per slice — each image still gets its own independent
+            rANS stream).
 
-            y_prev: the previous (coarser) decoded scale tensor — or the
-            raw uint8 header band for the coarsest scale.  y_direct: the
-            encoder's precomputed y_list[scl] (dummy zeros when decoding).
-            A runtime select between the two keeps both directions inside
-            the SAME executable, so CDF floats cannot diverge.
-            """
+            x00_raw: [K, lh, lw, 3] uint8 raw header bands.  y_direct:
+            per-scale tuple indexed by scl — the encoder's precomputed
+            y_list ([K, h, w, 4c]; dummy zeros when decoding).
+            words/states: the decoders' stream buffers [K, cap] + header
+            lane states [K, N] (dummies when encoding).  Returns (finest
+            y_lev, rgb [K,H,W,3], enc stream buffers [K, cap], enc
+            per-slice cursors [K, n_slices] in encode order, enc final
+            lane states [K, N])."""
             S = cfg.num_scales
+            K = x00_raw.shape[0]
             shift = jnp.array([127, 0, 0], jnp.int32)
-            if scl == S - 1:
-                ycocg = rgb_int_to_ycocg_r_int(y_prev.astype(jnp.int32))
-                x00 = (ycocg - shift).astype(jnp.float32) * INV255
-                h, w = x00.shape[1], x00.shape[2]
-                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
-                y0 = y0.at[..., clr_off:clr_off + 3].set(x00)
-            else:
-                x00 = interleave_scale(y_prev, c, prev_crop[0], prev_crop[1])
-                h, w = x00.shape[1], x00.shape[2]
-                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
-                y0 = y0.at[..., 0:c].set(x00)
             on = enable > 0
-            y_lev = jnp.where(on, y0, y_direct)
+            offset = jnp.zeros((K,), jnp.int32)
             sf = []
-            for b in range(3):
-                y_lev, states, offset = _band_body(
-                    params_, y_lev, words, states, offset, enable, sf,
-                    scl, b, padH, padW, ranges, num_lanes)
-            if scl == 0:
-                # final interleave + inverse color transform fused in
-                y_c = interleave_scale(y_lev, c, padH, padW)
-                y_3ch = y_c[..., clr_off:clr_off + 3]
-                ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
-                rgb = ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
-            else:
-                rgb = jnp.zeros((1, 1, 1, 3), jnp.uint8)
-            return y_lev, states, offset, tuple(sf), rgb
+            y_lev = None
+            for scl in range(S - 1, -1, -1):
+                if scl == S - 1:
+                    ycocg = rgb_int_to_ycocg_r_int(x00_raw.astype(jnp.int32))
+                    x00 = (ycocg - shift).astype(jnp.float32) * INV255
+                    h, w = x00.shape[1], x00.shape[2]
+                    y0 = jnp.zeros((K, h, w, 4 * c), jnp.float32)
+                    y0 = y0.at[..., clr_off:clr_off + 3].set(x00)
+                else:
+                    prev_crop = (int(pad_flags_t[scl + 1][0]),
+                                 int(pad_flags_t[scl + 1][1]))
+                    x00 = interleave_scale(y_lev, c, prev_crop[0],
+                                           prev_crop[1])
+                    h, w = x00.shape[1], x00.shape[2]
+                    y0 = jnp.zeros((K, h, w, 4 * c), jnp.float32)
+                    y0 = y0.at[..., 0:c].set(x00)
+                y_lev = jnp.where(on, y0, y_direct[scl])
+                padH, padW = pad_flags_t[scl]
+                for b in range(3):
+                    y_lev, states, offset = _band_body(
+                        params_, y_lev, words, states, offset, enable, sf,
+                        scl, b, padH, padW, ranges, num_lanes)
+            # final interleave + inverse color transform fused in
+            y_c = interleave_scale(y_lev, c, int(pad_flags_t[0][0]),
+                                   int(pad_flags_t[0][1]))
+            y_3ch = y_c[..., clr_off:clr_off + 3]
+            ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
+            rgb = ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
+
+            # encode side: chained rANS encode of all slices in reverse
+            # decode order, inside the same executable (integer-only, so
+            # no float-determinism hazard; skipped at runtime on decode)
+            capw = words.shape[1]
+            n_slices = len(sf) // 2
+
+            def do_chain(sf_flat):
+                buf = jnp.zeros((K, capw), jnp.int32)
+                enc_states = jnp.full((K, num_lanes), rd.RANS_L, jnp.uint32)
+                cursor = jnp.zeros((K,), jnp.int32)
+                cursors = []
+                pairs = list(zip(sf_flat[0::2], sf_flat[1::2]))
+                for st_arr, fr_arr in reversed(pairs):
+                    buf, cursor, enc_states = rd.rans_encode_body_batch(
+                        st_arr, fr_arr, enc_states, cursor, buf, num_lanes)
+                    cursors.append(cursor)
+                return buf, jnp.stack(cursors, axis=1), enc_states
+
+            def skip_chain(sf_flat):
+                return (jnp.zeros((K, capw), jnp.int32),
+                        jnp.zeros((K, n_slices), jnp.int32),
+                        jnp.full((K, num_lanes), rd.RANS_L, jnp.uint32))
+
+            buf, cursors, enc_states = jax.lax.cond(
+                on, skip_chain, do_chain, tuple(sf))
+            return y_lev, rgb, buf, cursors, enc_states
 
         # ---- front end (encode): one program per image shape -------------
         # input is uint8 (1 B/subpixel on the host link); int cast on device
         @partial(jax.jit, static_argnums=(1,))
         def front_fn(rgb_u8, levels):
+            """Batch-generic: rgb_u8 [K,H,W,3] -> (y_list, minmax [K,4]
+            rows of (min_co, max_co, min_cg, max_cg), raw bands)."""
             rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
-            mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
-                  jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
+            mm = jnp.stack(
+                [jnp.min(ycocg[..., 1], axis=(1, 2)),
+                 jnp.max(ycocg[..., 1], axis=(1, 2)),
+                 jnp.min(ycocg[..., 2], axis=(1, 2)),
+                 jnp.max(ycocg[..., 2], axis=(1, 2))], axis=-1)
             shift = jnp.array([127, 0, 0], jnp.int32)
             x = (ycocg - shift).astype(jnp.float32) * INV255
             if clr_off:
@@ -415,11 +464,13 @@ class Codec:
 
         @partial(jax.jit, static_argnums=(1,))
         def pad_words_fn(w, cap):
-            """Small upload -> fixed worst-case-shaped stream buffer, so the
-            decode programs' shapes depend only on the image shape (a
-            stream-length-dependent shape would recompile the 45 scan
-            programs whenever the compressed size changes)."""
-            return jnp.zeros(cap, w.dtype).at[: w.shape[0]].set(w)
+            """Small upload [K, up] -> fixed worst-case-shaped stream
+            buffers [K, cap], so the decode program's shapes depend only on
+            the image shape (a stream-length-dependent shape would
+            recompile the big program whenever the compressed size
+            changes)."""
+            return jnp.zeros((w.shape[0], cap), w.dtype).at[
+                :, : w.shape[1]].set(w)
 
         @partial(jax.jit, static_argnums=(1, 2))
         def postprocess_fn(y_lev, crop_h, crop_w):
@@ -445,7 +496,7 @@ class Codec:
 
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
-        self._scale_fn = scale_fn
+        self._image_fn = image_fn
         self._front = front_fn
         self._gather_lohi = gather_lohi_fn
         self._writeback = writeback_fn
@@ -546,7 +597,7 @@ class Codec:
                                           cfg.dwtlevels)
         # one host sync for min/max + the raw header band together
         mm_np, x00_np = jax.device_get((mm, x00_raw))
-        min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
+        min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np[0])
         minmax = [0, min_co, min_cg, 255, max_co, max_cg]
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
         raw = np.asarray(x00_np).tobytes()
@@ -575,68 +626,42 @@ class Codec:
     def _ranges(self, minmax):
         return tuple(self._clr_range(clr, minmax) for clr in range(3))
 
+    def _pad_flags_t(self, pad_flags):
+        return tuple((bool(a), bool(b)) for a, b in pad_flags)
+
     def _encode_dispatch(self, y_list, x00_raw, minmax, pad_flags):
-        """Enqueue one image's encode; returns device handles only (no
-        host sync), so several images' encodes can be pipelined."""
+        """Enqueue a K-image encode (ONE fused program); returns device
+        handles only (no host sync), so several dispatches can be
+        pipelined.  cursors [K, 45] (encode order), states [K, N],
+        buf [K, cap]."""
         cfg = self.cfg
         S = cfg.num_scales
+        K = x00_raw.shape[0]
         ranges = self._ranges(minmax)
         last_h = y_list[S - 1].shape[1]
         last_w = y_list[S - 1].shape[2]
         cap = self._words_cap(S, last_h, last_w, pad_flags)
         # dummies matching the decoder's shapes: the fused program is the
-        # *same executable* for both directions (enable=0 skips the scan);
+        # *same executable* for both directions (enable=0 skips the scans);
         # cached read-only buffers, so no per-image creation dispatches
-        dummy_words = self._const("zeros_u16", (cap,))
-        dummy_states = self._const("full_u32", (self.N,), rd.RANS_L)
+        dummy_words = self._const("zeros_u16", (K, cap))
+        dummy_states = self._const("full_u32", (K, self.N), rd.RANS_L)
         zero = self._const("i32", fill=0)
-        # gather per-slice (start, freq) in decode order; the encoder
-        # passes its own precomputed tensors as BOTH y_prev and y_direct
-        # (the runtime select discards the interleave path)
-        slice_sf = []  # (starts, freqs) device arrays
-        slice_meta = []  # (scl, b, clr)
-        for scl in range(S - 1, -1, -1):
-            if scl == S - 1:
-                y_prev = x00_raw
-                prev_crop = (0, 0)
-            else:
-                y_prev = y_list[scl + 1]
-                prev_crop = (int(pad_flags[scl + 1][0]),
-                             int(pad_flags[scl + 1][1]))
-            padH, padW = pad_flags[scl]
-            _y, _st, _off, sf, _rgb = self._scale_fn(
-                self.params, y_prev, y_list[scl], dummy_words, dummy_states,
-                zero, zero, scl, prev_crop, padH, padW, ranges, self.N)
-            for b in range(3):
-                for clr in range(3):
-                    i = 2 * (b * 3 + clr)
-                    slice_sf.append((sf[i], sf[i + 1]))
-                    slice_meta.append((scl, b, clr))
-        # chained rANS encode in reverse decode order, one program per
-        # scale (9 slices each), all writing into one shared (donated)
-        # buffer — a single small transfer at the end
-        enc_cap = sum(-(-int(st.shape[0]) // self.N) * self.N
-                      for st, _ in slice_sf) + self.N
-        enc_cap = -(-enc_cap // 65536) * 65536
-        states = self._const("full_u32", (self.N,), rd.RANS_L)
-        buf = jnp.zeros(enc_cap, jnp.int32)  # donated by the chain
-        cursor = self._const("i32", fill=0)
-        cursors = []
-        rev = list(reversed(slice_sf))
-        for i in range(0, len(rev), 9):
-            grp = rev[i:i + 9]
-            buf, cursor, states, curs = rd.rans_encode_group(
-                tuple(st for st, _ in grp), tuple(fr for _, fr in grp),
-                states, cursor, buf, self.N)
-            cursors.extend(curs)
+        _y, _rgb, buf, cursors, states = self._image_fn(
+            self.params, x00_raw, tuple(y_list), dummy_words, dummy_states,
+            zero, self._pad_flags_t(pad_flags), ranges, self.N)
+        slice_meta = [(scl, b, clr) for scl in range(S - 1, -1, -1)
+                      for b in range(3) for clr in range(3)]
         return slice_meta, cursors, states, buf
 
     def _encode_finalize(self, streams, slice_meta, cursors_np, states_np,
                          packed_np):
+        """Single-image (K=1) finalize: cursors_np [1,45] etc."""
         S = self.cfg.num_scales
+        cursors_np = np.asarray(cursors_np)[0]
         total = int(cursors_np[-1])
-        blob = rd.pack_stream_packed(np.asarray(packed_np)[:total],
-                                     np.asarray(states_np))
+        blob = rd.pack_stream_packed(np.asarray(packed_np)[0][:total],
+                                     np.asarray(states_np)[0])
         streams.append([blob])
         # per-slice word counts (encode order cursors -> decode order bits)
         counts = np.diff(np.concatenate([[0], cursors_np])).astype(int)
@@ -654,9 +679,9 @@ class Codec:
         slice_meta, cursors, states, buf = self._encode_dispatch(
             y_list, x00_raw, minmax, pad_flags)
         cursors_np, states_np = jax.device_get((cursors, states))
-        total = int(cursors_np[-1])
-        bucket = min(buf.shape[0], -(-max(1, total) // 65536) * 65536)
-        packed = np.asarray(jax.device_get(buf[:bucket]))
+        total = int(cursors_np[0, -1])
+        bucket = min(buf.shape[1], -(-max(1, total) // 65536) * 65536)
+        packed = np.asarray(jax.device_get(buf[:, :bucket]))
         return self._encode_finalize(streams, slice_meta, cursors_np,
                                      states_np, packed)
 
@@ -679,7 +704,7 @@ class Codec:
         stage2 = []
         for (y_list, _, x00_raw, pad_flags, pad_int, orig_h, orig_w), (
                 mm_np, x00_np) in zip(stage1, mms):
-            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
+            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np[0])
             minmax = [0, min_co, min_cg, 255, max_co, max_cg]
             last_h = y_list[S - 1].shape[1]
             last_w = y_list[S - 1].shape[2]
@@ -693,9 +718,9 @@ class Codec:
         bufs = []
         for (streams, meta, _c, _s, buf), (cursors_np, _states) in zip(
                 stage2, got):
-            total = int(cursors_np[-1])
-            bucket = min(buf.shape[0], -(-max(1, total) // 65536) * 65536)
-            bufs.append(buf[:bucket])
+            total = int(np.asarray(cursors_np)[0, -1])
+            bucket = min(buf.shape[1], -(-max(1, total) // 65536) * 65536)
+            bufs.append(buf[:, :bucket])
         packed_all = jax.device_get(bufs)
         out = []
         for (streams, meta, _c, _s, _b), (cursors_np, states_np), packed in (
@@ -708,37 +733,27 @@ class Codec:
         ranges = self._ranges(minmax)
         blob = streams[1][0]
         states_np, words_np = rd.unpack_stream(blob, self.N)
-        states = jnp.asarray(states_np, jnp.uint32)
+        states = jnp.asarray(states_np[None], jnp.uint32)
         # upload the (small, bucketed) stream as uint16, then pad on device
         # to the shape-derived worst-case buffer so decode program shapes
         # never depend on the compressed size
         up = -(-max(1, words_np.size) // 16384) * 16384
         w_small = jnp.asarray(
-            np.pad(words_np.astype(np.uint16), (0, up - words_np.size)))
+            np.pad(words_np.astype(np.uint16),
+                   (0, up - words_np.size))[None])
         cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
         words = self._pad_words(w_small, cap)
-        offset = self._const("i32", fill=0)
         one = self._const("i32", fill=1)
         c4 = 4 * self.cfg.cond_channels
         shapes = dict((scl, (h, w)) for scl, h, w in
                       self._scale_shapes(S, raw.shape[1], raw.shape[2],
                                          pad_flags))
-        y_lev = None
-        rgb = None
-        for scl in range(S - 1, -1, -1):
-            if scl == S - 1:
-                y_prev = jnp.asarray(raw)
-                prev_crop = (0, 0)
-            else:
-                y_prev = y_lev
-                prev_crop = (int(pad_flags[scl + 1][0]),
-                             int(pad_flags[scl + 1][1]))
-            padH, padW = pad_flags[scl]
-            h, w = shapes[scl]
-            y_direct = self._const("zeros_f32", (1, h, w, c4))
-            y_lev, states, offset, _sf, rgb = self._scale_fn(
-                self.params, y_prev, y_direct, words, states, offset, one,
-                scl, prev_crop, padH, padW, ranges, self.N)
+        y_direct = tuple(
+            self._const("zeros_f32", (1,) + shapes[scl] + (c4,))
+            for scl in range(S))
+        y_lev, rgb, _buf, _curs, _est = self._image_fn(
+            self.params, jnp.asarray(raw), y_direct, words, states, one,
+            self._pad_flags_t(pad_flags), ranges, self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
         return rgb
@@ -856,6 +871,97 @@ class Codec:
         fetched = jax.device_get([o[0] for o in outs])
         return [np.asarray(f)[:, :oh, :ow, :]
                 for f, (_d, oh, ow) in zip(fetched, outs)]
+
+    # ---- batch container (K images, ONE fused program) -----------------
+    # A batch is a first-class coding unit: the K same-shape images are
+    # encoded by one K-batched executable (convs get a real batch
+    # dimension for MXU utilization; each image keeps its own independent
+    # rANS lanes/stream) and MUST be decoded by the same K-batched
+    # executable — that shared-program pairing is what guarantees
+    # bit-identical CDFs, exactly like the single-image enable-flag
+    # design.  CDF symbol ranges are the union over the batch (stored
+    # once in the container header; slightly wider than per-image
+    # dynamic ranges).  Serving analog: a shard of same-size tiles.
+
+    def compress_batch(self, imgs: Sequence[np.ndarray]) -> List[List[bytes]]:
+        """Encode K same-shape uint8 images into one batch container."""
+        cfg = self.cfg
+        S = cfg.num_scales
+        assert self.backend == "device"
+        prepped = [self._prepare(rgb) for rgb in imgs]
+        arrs = [p[0] for p in prepped]
+        assert len({a.shape for a in arrs}) == 1, "batch requires one shape"
+        K = len(arrs)
+        assert K < 255
+        batch = np.concatenate(arrs, axis=0).astype(np.uint8)
+        H, W = batch.shape[1], batch.shape[2]
+        pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
+        y_list, mm, x00_raw = self._front(jnp.asarray(batch), cfg.dwtlevels)
+        mm_np, x00_np = jax.device_get((mm, x00_raw))
+        minmax = [0, int(mm_np[:, 0].min()), int(mm_np[:, 2].min()),
+                  255, int(mm_np[:, 1].max()), int(mm_np[:, 3].max())]
+        last_h = y_list[S - 1].shape[1]
+        last_w = y_list[S - 1].shape[2]
+        origs = np.array([[p[1], p[2]] for p in prepped], np.uint32)
+        hdr = (np.array([255, K, S], np.uint8).tobytes()
+               + np.array([last_h, last_w], np.uint16).tobytes()
+               + origs.tobytes())
+        streams: List[List[bytes]] = [[
+            hdr, np.array(minmax, np.int16).tobytes(),
+            np.array([pad_int], np.int16).tobytes(),
+            np.asarray(x00_np).tobytes(), b"", b"", b"", b"", b""]]
+        _meta, cursors, states, buf = self._encode_dispatch(
+            y_list, x00_raw, minmax, pad_flags)
+        cursors_np, states_np = jax.device_get((cursors, states))
+        total_max = int(np.asarray(cursors_np)[:, -1].max())
+        bucket = min(buf.shape[1], -(-max(1, total_max) // 65536) * 65536)
+        packed = np.asarray(jax.device_get(buf[:, :bucket]))
+        for k in range(K):
+            blob = rd.pack_stream_packed(
+                packed[k][: int(cursors_np[k, -1])], states_np[k])
+            streams.append([blob])
+        self.last_slice_bits = None  # per-batch accounting not kept
+        return streams
+
+    def decompress_batch(self, streams: List[List[bytes]]
+                         ) -> List[np.ndarray]:
+        """Decode a batch container -> list of K [H, W, 3] uint8 images."""
+        cfg = self.cfg
+        hdr = streams[0][0]
+        marker, K, S = (int(v) for v in np.frombuffer(hdr[:3], np.uint8))
+        assert marker == 255 and S == cfg.num_scales
+        last_h, last_w = (int(v) for v in np.frombuffer(hdr[3:7], np.uint16))
+        origs = np.frombuffer(hdr[7:7 + 8 * K], np.uint32).reshape(K, 2)
+        minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
+        pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
+        pad_flags = unpack_pad_flags(pad_int, S)
+        raw = np.frombuffer(streams[0][3], np.uint8).reshape(
+            K, last_h, last_w, 3)
+        ranges = self._ranges(minmax)
+        sts, wds = zip(*(rd.unpack_stream(streams[1 + k][0], self.N)
+                         for k in range(K)))
+        states = jnp.asarray(np.stack(sts), jnp.uint32)
+        max_w = max(max(w.size for w in wds), 1)
+        up = -(-max_w // 16384) * 16384
+        w_small = jnp.asarray(np.stack(
+            [np.pad(w.astype(np.uint16), (0, up - w.size)) for w in wds]))
+        cap = self._words_cap(S, last_h, last_w, pad_flags)
+        words = self._pad_words(w_small, cap)
+        one = self._const("i32", fill=1)
+        c4 = 4 * cfg.cond_channels
+        shapes = dict((scl, (h, w)) for scl, h, w in
+                      self._scale_shapes(S, last_h, last_w, pad_flags))
+        y_direct = tuple(
+            self._const("zeros_f32", (K,) + shapes[scl] + (c4,))
+            for scl in range(S))
+        y_lev, rgb, _buf, _curs, _est = self._image_fn(
+            self.params, jnp.asarray(raw), y_direct, words, states, one,
+            self._pad_flags_t(pad_flags), ranges, self.N)
+        self._last_y_lev = (y_lev, int(pad_flags[0][0]),
+                            int(pad_flags[0][1]))
+        out = np.asarray(jax.device_get(rgb))
+        return [out[k, : int(origs[k, 0]), : int(origs[k, 1])]
+                for k in range(K)]
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -139,32 +139,36 @@ def _u32(x):
     return x.astype(jnp.uint32)
 
 
-def rans_encode_body(starts, freqs, states, cursor, buf, num_lanes):
-    """Traceable reverse-order encode of one slice into a shared buffer.
+def rans_encode_body_batch(starts, freqs, states, cursor, buf, num_lanes):
+    """Traceable reverse-order encode of one slice for K images at once.
 
-    starts/freqs: [n] int32 per-symbol (cdf[s], cdf[s+1]-cdf[s]).
-    states: [N] uint32 carried lane states; cursor: int32 write position
-    into ``buf`` ([cap] int32), which is threaded through the whole
-    image's slice chain (donated, so no copies).  Emitted words land in
-    *reverse stream order*; one flip of buf[:final_cursor] at assembly
-    yields the decoder's forward stream.
+    starts/freqs: [K, n] int32 per-symbol (cdf[s], cdf[s+1]-cdf[s]).
+    states: [K, N] uint32 carried lane states; cursor: [K] int32 write
+    positions into ``buf`` ([K, cap] int32), threaded through the whole
+    batch's slice chain.  Each image's stream is independent (its own
+    lanes/cursor/buffer row); batching exists to share one scan and give
+    the surrounding convs a real batch dimension.  Emitted words land in
+    *reverse stream order*; one flip of buf[k, :cursor_k] at assembly
+    yields image k's forward stream.
     Returns (buf, cursor, states).
     """
     N = num_lanes
-    n = starts.shape[0]
+    K, n = starts.shape
     T = -(-n // N)
     pad = T * N - n
     # freq == 0 marks a masked no-op symbol (tail padding); callers may
     # pre-pad to a bucketed length with zero freqs
-    starts = jnp.pad(starts, (0, pad)).reshape(T, N).astype(jnp.uint32)
-    freqs = jnp.pad(freqs, (0, pad)).reshape(T, N).astype(jnp.uint32)
-    cap = buf.shape[0]
+    starts = jnp.pad(starts, ((0, 0), (0, pad))).reshape(
+        K, T, N).astype(jnp.uint32)
+    freqs = jnp.pad(freqs, ((0, 0), (0, pad))).reshape(
+        K, T, N).astype(jnp.uint32)
+    cap = buf.shape[1]
 
     # The scan carries only the lane states; emitted words/flags come out
     # as stacked ys and are scattered into the shared buffer ONCE (a
     # buffer carried through the scan would be copied every step).
     def step(states, inp):
-        start, freq = inp
+        start, freq = inp  # [K, N]
         val = freq > 0
         freq_safe = jnp.maximum(freq, 1)
         emit = jnp.logical_and(val, states >= (freq_safe << 16))
@@ -174,18 +178,31 @@ def rans_encode_body(starts, freqs, states, cursor, buf, num_lanes):
         states = jnp.where(val, new_states, states)
         return states, (word, emit)
 
-    # reverse step order: t = T-1 .. 0
-    inputs = (starts[::-1], freqs[::-1])
+    # reverse step order: t = T-1 .. 0; scan axis leading
+    inputs = (starts[:, ::-1].transpose(1, 0, 2),
+              freqs[:, ::-1].transpose(1, 0, 2))
     states, (words_t, emits) = jax.lax.scan(step, states, inputs)
-    # emission order: ascending reversed-step index, lanes N-1..0 within a
-    # step — flatten in that order and place by exclusive prefix sum
-    flat_words = words_t[:, ::-1].reshape(-1)
-    flat_emit = emits[:, ::-1].reshape(-1)
+    # emission order per image: ascending reversed-step index, lanes
+    # N-1..0 within a step — flatten in that order and place by exclusive
+    # prefix sum along the row
+    flat_words = words_t[:, :, ::-1].transpose(1, 0, 2).reshape(K, -1)
+    flat_emit = emits[:, :, ::-1].transpose(1, 0, 2).reshape(K, -1)
     e32 = flat_emit.astype(jnp.int32)
-    pos = cursor + jnp.cumsum(e32) - e32
-    buf = buf.at[jnp.where(flat_emit, pos, cap)].set(flat_words, mode="drop")
-    cursor = cursor + jnp.sum(e32)
+    pos = cursor[:, None] + jnp.cumsum(e32, axis=1) - e32
+    row = jnp.arange(K, dtype=jnp.int32)[:, None]
+    idx = jnp.where(flat_emit, row * cap + pos, K * cap)
+    buf = buf.reshape(-1).at[idx.reshape(-1)].set(
+        flat_words.reshape(-1), mode="drop").reshape(K, cap)
+    cursor = cursor + jnp.sum(e32, axis=1)
     return buf, cursor, states
+
+
+def rans_encode_body(starts, freqs, states, cursor, buf, num_lanes):
+    """Single-image wrapper of :func:`rans_encode_body_batch` (K=1)."""
+    buf, cursor, states = rans_encode_body_batch(
+        starts[None], freqs[None], states[None],
+        jnp.reshape(cursor, (1,)).astype(jnp.int32), buf[None], num_lanes)
+    return buf[0], cursor[0], states[0]
 
 
 @partial(jax.jit, static_argnums=(5,), donate_argnums=(4,))
@@ -211,63 +228,78 @@ def rans_encode_group(starts_seq, freqs_seq, states, cursor, buf, num_lanes):
     return buf, cursor, states, tuple(cursors)
 
 
-def rans_decode_body(cum, words, states, offset, num_lanes, n):
-    """Traceable decode core (call from inside a larger jitted program).
+def rans_decode_body_batch(cum, words, states, offsets, num_lanes, n):
+    """Traceable decode core for K images (call inside a jitted program).
 
-    cum: [n, Lp] int32 cumulative tables; words: [W] int32 uint16-valued
-    stream; states: [N] uint32; offset: scalar int32 read position.
-    Returns (symbols [n] int32, states, new offset).
+    cum: [K, n, Lp] int32 cumulative tables; words: [K, W] uint16-valued
+    streams; states: [K, N] uint32; offsets: [K] int32 read positions.
+    Returns (symbols [K, n] int32, states, new offsets).
 
     Gather-free formulation: XLA:TPU gathers are slow (often lowered to
     serial loops / one-hot matmuls), so instead of a per-lane binary
-    search each scan step loads its *contiguous* [N, Lp] row block with
-    ``dynamic_slice`` and finds (s, cum[s], cum[s+1]) with masked
-    max/min/sum reductions over Lp — pure VPU work.  The conditional
-    word refill likewise reads a contiguous [N] window and selects by
-    rank with a one-hot compare instead of a gather.
+    search each scan step loads its *contiguous* [K, N, Lp] row block
+    with ``dynamic_slice`` (scalar step index, shared by all images) and
+    finds (s, cum[s], cum[s+1]) with masked max/min/sum reductions over
+    Lp — pure VPU work.  The conditional word refill reads one
+    contiguous [N] window per image (K unrolled scalar-offset slices)
+    and selects by rank with a one-hot compare instead of a gather.
     """
     N = num_lanes
-    Lp = cum.shape[1]
+    K, _, Lp = cum.shape
     T = -(-n // N)
     pad = T * N - n
     valid = (jnp.arange(T * N) < n).reshape(T, N)
     if pad:
         cum = jnp.concatenate(
-            [cum, jnp.broadcast_to(cum[:1], (pad, Lp))], axis=0)
+            [cum, jnp.broadcast_to(cum[:, :1], (K, pad, Lp))], axis=1)
     # N-word tail so the refill window never runs out of bounds
-    words = jnp.concatenate([words, jnp.zeros((N,), words.dtype)])
+    words = jnp.concatenate(
+        [words, jnp.zeros((K, N), words.dtype)], axis=1)
     lane_iota = jnp.arange(N, dtype=jnp.int32)
 
     def step(carry, inp):
-        states, offset = carry
-        t, val = inp
-        block = jax.lax.dynamic_slice(cum, (t * N, 0), (N, Lp))
+        states, offsets = carry  # [K, N], [K]
+        t, val = inp  # scalar, [N]
+        block = jax.lax.dynamic_slice(cum, (0, t * N, 0), (K, N, Lp))
         slot = (states & 0xFFFF).astype(jnp.int32)
         # largest s with cum[s] <= slot: cum rows are strictly increasing
         # with cum[0] == 0 and cum[Lp-1] == 2^16 > slot, so the masked
         # reductions below are always well-defined
-        le = block <= slot[:, None]
-        start32 = jnp.max(jnp.where(le, block, 0), axis=1)
-        nxt32 = jnp.min(jnp.where(le, 1 << 16, block), axis=1)
-        s = jnp.sum(le.astype(jnp.int32), axis=1) - 1
+        le = block <= slot[..., None]
+        start32 = jnp.max(jnp.where(le, block, 0), axis=-1)
+        nxt32 = jnp.min(jnp.where(le, 1 << 16, block), axis=-1)
+        s = jnp.sum(le.astype(jnp.int32), axis=-1) - 1
         start = _u32(start32)
         freq = _u32(nxt32 - start32)
         x = freq * (states >> 16) + _u32(slot) - start
-        need = jnp.logical_and(val, x < RANS_L)
+        need = jnp.logical_and(val[None, :], x < RANS_L)
         # lane l reads the (#needing lanes with index < l)-th next word
-        rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
-        win = jax.lax.dynamic_slice(words, (offset,), (N,))
-        w = _u32(jnp.sum(jnp.where(rank[:, None] == lane_iota[None, :],
-                                   win[None, :], 0), axis=1))
+        n32 = need.astype(jnp.int32)
+        rank = jnp.cumsum(n32, axis=1) - n32
+        win = jnp.concatenate(
+            [jax.lax.dynamic_slice(words, (k, offsets[k]), (1, N))
+             for k in range(K)], axis=0)  # [K, N]
+        w = _u32(jnp.sum(
+            jnp.where(rank[..., None] == lane_iota[None, None, :],
+                      win[:, None, :], 0), axis=-1))
         x = jnp.where(need, (x << 16) | w, x)
-        states = jnp.where(val, x, states)
-        offset = offset + jnp.sum(need.astype(jnp.int32))
-        return (states, offset), s
+        states = jnp.where(val[None, :], x, states)
+        offsets = offsets + jnp.sum(n32, axis=1)
+        return (states, offsets), s
 
     ts = jnp.arange(T)
-    (states, offset), syms = jax.lax.scan(step, (states, offset),
-                                          (ts, valid))
-    return syms.reshape(T * N)[:n], states, offset
+    (states, offsets), syms = jax.lax.scan(step, (states, offsets),
+                                           (ts, valid))
+    syms = syms.transpose(1, 0, 2).reshape(K, T * N)[:, :n]
+    return syms, states, offsets
+
+
+def rans_decode_body(cum, words, states, offset, num_lanes, n):
+    """Single-image wrapper of :func:`rans_decode_body_batch` (K=1)."""
+    syms, states, offsets = rans_decode_body_batch(
+        cum[None], words[None], states[None],
+        jnp.reshape(offset, (1,)).astype(jnp.int32), num_lanes, n)
+    return syms[0], states[0], offsets[0]
 
 
 @partial(jax.jit, static_argnums=(4, 5))

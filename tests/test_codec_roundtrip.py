@@ -183,3 +183,53 @@ def test_decompress_xorg_check():
     out = codec.decompress(streams, xorg=img)
     assert np.array_equal(out[0], img)
     assert codec.last_ycocg_err == 0
+
+
+def test_batch_container_roundtrip():
+    """K same-shape images encoded by the K-batched executable and
+    decoded by the same one: lossless per image, serialize round-trips."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(32, 40, seed=s) for s in range(4)]
+    streams = codec.compress_batch(imgs)
+    blob = Codec.serialize(streams)
+    outs = codec.decompress_batch(Codec.deserialize(blob))
+    assert len(outs) == 4
+    for img, out in zip(imgs, outs):
+        assert out.shape == img.shape
+        np.testing.assert_array_equal(out, img)
+    # rate sanity: random-init params code near-uniform (~8+ bits/sym);
+    # the container must stay within ~2x of raw plus header overhead
+    assert Codec.num_bytes(streams) < 2 * sum(i.size for i in imgs)
+
+
+def test_batch_container_identical_images_identical_streams():
+    """K copies of one image must produce byte-identical per-image blobs
+    (per-image lanes are independent inside the batched program)."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(48, 32, seed=9)
+    streams = codec.compress_batch([img, img, img])
+    assert streams[1][0] == streams[2][0] == streams[3][0]
+
+
+def test_batch_container_odd_sizes_and_ragged_origs():
+    """Odd H/W exercise pad flags inside the batched program."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(33, 37, seed=s) for s in range(2)]
+    streams = codec.compress_batch(imgs)
+    outs = codec.decompress_batch(streams)
+    for img, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, img)
+
+
+def test_batch_matches_single_rate_ballpark():
+    """Union ranges cost a little rate vs per-image dynamic ranges, but
+    the batch must stay within a few percent for similar images."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(32, 32, seed=s) for s in range(3)]
+    single_bytes = sum(Codec.num_bytes(codec.compress(i)) for i in imgs)
+    batch_bytes = Codec.num_bytes(codec.compress_batch(imgs))
+    assert batch_bytes < 1.1 * single_bytes

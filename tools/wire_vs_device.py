@@ -125,25 +125,14 @@ def main() -> None:
         S, raw.shape[1], raw.shape[2], pad_flags))
     c4 = 4 * cfg.cond_channels
 
+    y_direct = tuple(codec._const("zeros_f32", (1,) + shapes[scl] + (c4,))
+                     for scl in range(S))
+    pf_t = codec._pad_flags_t(pad_flags)
+
     def device_decode():
-        states = states0
-        offset = codec._const("i32", fill=0)
-        y_lev = None
-        rgb = None
-        for scl in range(S - 1, -1, -1):
-            if scl == S - 1:
-                y_prev = raw_dev
-                prev_crop = (0, 0)
-            else:
-                y_prev = y_lev
-                prev_crop = (int(pad_flags[scl + 1][0]),
-                             int(pad_flags[scl + 1][1]))
-            padH, padW = pad_flags[scl]
-            h, w = shapes[scl]
-            y_direct = codec._const("zeros_f32", (1, h, w, c4))
-            y_lev, states, offset, _sf, rgb = codec._scale_fn(
-                codec.params, y_prev, y_direct, words_dev, states, offset,
-                one, scl, prev_crop, padH, padW, ranges, codec.N)
+        _y, rgb, _b, _c, _s = codec._image_fn(
+            codec.params, raw_dev, y_direct, words_dev, states0, one,
+            pf_t, ranges, codec.N)
         return rgb
 
     jax.block_until_ready(device_decode())  # warm
