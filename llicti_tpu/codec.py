@@ -41,7 +41,7 @@ from . import coder
 from .coder import rans_device as rd
 from .config import ModelConfig
 from .models.llicti import LLICTIModel
-from .ops.cdf_pallas import gmm_cdf_table_int32_pallas
+from .ops.cdf_pallas import gmm_cdf_from_pmap_pallas
 from .ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
 from .ops.gmm import cdf_float_to_uint16, cdf_sampling_points, gmm_cdf_table
 from .ops.wavelet import (
@@ -104,6 +104,30 @@ def gmm_slice_params(cfg: ModelConfig, pmap, y_lev, b: int, clr: int):
     return stdevs, means, weights
 
 
+def pmap_cdf_spec(cfg: ModelConfig, b: int, clr: int):
+    """(M_eff, std0, mean0, w0, upd) column spec into the raw pmap —
+    the in-kernel equivalent of :func:`gmm_slice_params` for the
+    from-pmap Pallas CDF kernel (reference layouts LLICTI_nets.py:827-935).
+    ``upd`` holds (coef_col, y_channel) cross-color mean updates."""
+    M = cfg.num_mixtures
+    if cfg.clr_joint_mode == 0:
+        return (M, 3 * clr * M, (3 * clr + 1) * M, (3 * clr + 2) * M, ())
+    if cfg.clr_joint_mode == 1:
+        if clr == 0:
+            return (2 * M, 2 * M, 4 * M, 6 * M, ())
+        i = clr - 1
+        upd = ((14 * M, sym_channel(cfg, b, 1)),) if clr == 2 else ()
+        return (M, (8 + i) * M, (10 + i) * M, (12 + i) * M, upd)
+    ch0 = sym_channel(cfg, b, 0)
+    ch1 = sym_channel(cfg, b, 1)
+    upd = ()
+    if clr == 1:
+        upd = ((9 * M, ch0),)
+    elif clr == 2:
+        upd = ((10 * M, ch0), (11 * M, ch1))
+    return (M, clr * M, (3 + clr) * M, (6 + clr) * M, upd)
+
+
 def bucket_range(min_val: int, max_val: int) -> Tuple[int, int]:
     """Round a symbol range outward to RANGE_BUCKET multiples (keeps the
     jit cache small; the near-zero-probability extra bins cost <0.002
@@ -111,6 +135,50 @@ def bucket_range(min_val: int, max_val: int) -> Tuple[int, int]:
     lo = (min_val // RANGE_BUCKET) * RANGE_BUCKET
     hi = -((-(max_val + 1)) // RANGE_BUCKET) * RANGE_BUCKET - 1
     return int(lo), int(hi)
+
+
+def dense_group_params(params, cfg: ModelConfig):
+    """Expand grouped conv kernels to block-diagonal dense kernels.
+
+    The codec runs the interpolators with dense_groups=True (full
+    128-lane MXU contractions instead of 88-channel groups); the
+    zero-blocks contribute exact 0.0 terms so the math is the grouped
+    conv's.  Host-side numpy transform of the ~196K-param tree.
+    """
+    from .models.llicti import model_scales
+
+    owners = model_scales(cfg)
+
+    def expand(kernel: np.ndarray, groups: int) -> np.ndarray:
+        if groups == 1:
+            return kernel
+        kh, kw, gin, co = kernel.shape
+        gout = co // groups
+        out = np.zeros((kh, kw, gin * groups, co), kernel.dtype)
+        for g in range(groups):
+            out[:, :, g * gin:(g + 1) * gin, g * gout:(g + 1) * gout] = \
+                kernel[:, :, :, g * gout:(g + 1) * gout]
+        return out
+
+    from .models.interpolator import interpolator_dims
+
+    p = jax.tree.map(np.asarray, jax.device_get(params))
+    root = p["params"]
+    for name, sub in root.items():
+        if not name.startswith("models_"):
+            continue
+        m = int(name.split("_")[1])
+        grps, _Ch, _Co, _c, grp0 = interpolator_dims(cfg, owners[m])
+        for conv_name, conv_sub in sub.items():
+            if conv_name.startswith("trunk"):
+                groups = grps
+            elif conv_name.startswith("conv_"):
+                groups = grp0
+            else:
+                continue
+            leaf = conv_sub["Conv_0"]
+            leaf["kernel"] = expand(leaf["kernel"], groups)
+    return p
 
 
 def pad_flags_for_shape(h: int, w: int, levels: Sequence[int]):
@@ -175,10 +243,12 @@ class Codec:
         self.size_bucket = size_bucket
         self.compiled_shapes: set = set()
         self.cfg = cfg
-        self.params = params
+        # dense block-diagonal execution of the grouped convs (same math,
+        # full MXU contractions — see dense_group_params)
+        self.params = dense_group_params(params, cfg)
         self.backend = backend
         self.N = num_lanes
-        self.model = LLICTIModel(cfg=cfg)
+        self.model = LLICTIModel(cfg=cfg, dense_groups=True)
         self.pool = futures.ThreadPoolExecutor(max_workers=num_threads)
         self.last_slice_bits: Optional[List[List[int]]] = None
 
@@ -186,9 +256,8 @@ class Codec:
         c = cfg.cond_channels  # 3 for clrjnt 0/2, 4 for clrjnt 1 (zero ch)
         clr_off = 1 if cfg.clr_joint_mode == 1 else 0
         logistic = cfg.distribution == "logistic"
-        if use_pallas_cdf:
-            assert cfg.clr_joint_mode == 2 and not logistic, (
-                "pallas CDF kernel covers the clrjnt=2 normal path")
+        # the from-pmap Pallas kernel covers every coded mode (clrjnt
+        # 0/1/2 incl. seqmd, normal + logistic)
         self._c = c
         self._clr_off = clr_off
 
@@ -206,37 +275,48 @@ class Codec:
             return self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                     scl, b, method=LLICTIModel.band_params)
 
-        def _cdf_float(pmap, y_lev, b, clr, minv, maxv):
+        def _cdf_float(pmap, y_lev, b, clr, pts):
             stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
-            pts = cdf_sampling_points(minv, maxv)
             return gmm_cdf_table(pts, stdevs, means, weights,
                                  logistic=logistic)
 
-        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
-        def cdf_u16_fn(pmap, y_lev, b, clr, minv, maxv):
+        @partial(jax.jit, static_argnums=(3, 4))
+        def cdf_u16_fn(pmap, y_lev, pts, b, clr):
             """[1,h,w,P] uint16 table (host-backend contract)."""
             return cdf_float_to_uint16(
-                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
+                _cdf_float(pmap, y_lev, b, clr, pts))
 
         def _gmm_params(pmap, y_lev, b, clr):
             return gmm_slice_params(cfg, pmap, y_lev, b, clr)
 
-        def _cdf_cum(pmap, y_lev, b, clr, minv, maxv):
-            """[1,h,w,P] int32 cum table (device-backend contract)."""
+        def _cdf_cum(pmap, y_lev, b, clr, pts):
+            """[K,h,w,P] int32 cum table (device-backend contract).
+
+            ``pts`` MUST be a runtime operand, not a trace-time constant:
+            a constant-folded sampling grid becomes a program literal
+            whose per-grid-step DMA into the Pallas kernel is ~400x
+            slower on this backend (measured 24 ms vs 0.06 ms for one
+            [98304, 257] table).
+            """
             if use_pallas_cdf:
-                stdevs, means, weights = _gmm_params(pmap, y_lev, b, clr)
-                pts = cdf_sampling_points(minv, maxv)
-                return gmm_cdf_table_int32_pallas(pts, stdevs, means, weights)
+                # from-pmap kernel: consumes the conv output in its
+                # natural channel-minor layout — param slicing, bounds
+                # and cross-color mean updates happen in VMEM (no
+                # [n, M]-shaped HBM operands that stall on relayout DMAs)
+                Mx, std0, mean0, w0, upd = pmap_cdf_spec(cfg, b, clr)
+                return gmm_cdf_from_pmap_pallas(
+                    pts, pmap, y_lev, Mx, std0, mean0, w0, upd, logistic)
             return rd.cdf_float_to_cum_int32(
-                _cdf_float(pmap, y_lev, b, clr, minv, maxv))
+                _cdf_float(pmap, y_lev, b, clr, pts))
 
         # ---- per-band traceable body (composed into the image program) -----
         # conv -> 3x(CDF table -> (start,freq) extraction [encode, cond] ->
         # rANS decode scan [decode, cond] -> write-back select).
         def _band_body(params_, y_lev, words, states, offset, enable, sf,
-                       scl, b, padH, padW, ranges, num_lanes):
+                       scl, b, padH, padW, ranges, pts3, num_lanes):
             """Batch-generic: y_lev [K,h,w,4c], words [K,cap],
-            states [K,N], offset [K]."""
+            states [K,N], offset [K].  pts3: per-color runtime sampling
+            grids (see _cdf_cum)."""
             if seqmd:
                 base = self.model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                         scl, b, method=LLICTIModel.band_base)
@@ -258,7 +338,7 @@ class Codec:
                         params_, base, y_seq, scl, b, clr,
                         method=LLICTIModel.band_params_seq)
                 minv, maxv = ranges[clr]
-                cum = _cdf_cum(pmap, y_lev, b, clr, minv, maxv)
+                cum = _cdf_cum(pmap, y_lev, b, clr, pts3[clr])
                 cc = cum[:, :ch_, :cw]
                 # encode-side: look up (start, freq) at the true symbols,
                 # via one-hot masked sums instead of take_along_axis
@@ -321,9 +401,9 @@ class Codec:
         # this program) vs the reference's 90 host crossings: on a tunneled
         # TPU the per-dispatch RPC dominates, so one big program wins for
         # latency (decomposition in docs/PERF.md).
-        @partial(jax.jit, static_argnums=(6, 7, 8))
+        @partial(jax.jit, static_argnums=(7, 8, 9))
         def image_fn(params_, x00_raw, y_direct, words, states, enable,
-                     pad_flags_t, ranges, num_lanes):
+                     pts3, pad_flags_t, ranges, num_lanes):
             """Batch-generic over a leading K axis (K=1 for single images;
             batched encode/decode shares the convs' batch dimension and one
             scan per slice — each image still gets its own independent
@@ -364,7 +444,7 @@ class Codec:
                 for b in range(3):
                     y_lev, states, offset = _band_body(
                         params_, y_lev, words, states, offset, enable, sf,
-                        scl, b, padH, padW, ranges, num_lanes)
+                        scl, b, padH, padW, ranges, pts3, num_lanes)
             # final interleave + inverse color transform fused in
             y_c = interleave_scale(y_lev, c, int(pad_flags_t[0][0]),
                                    int(pad_flags_t[0][1]))
@@ -403,12 +483,15 @@ class Codec:
         # input is uint8 (1 B/subpixel on the host link); int cast on device
         @partial(jax.jit, static_argnums=(1,))
         def front_fn(rgb_u8, levels):
-            """Batch-generic: rgb_u8 [K,H,W,3] -> (y_list, minmax [K,4]
-            rows of (min_co, max_co, min_cg, max_cg), raw bands)."""
+            """Batch-generic: rgb_u8 [K,H,W,3] -> (y_list, minmax [K,6]
+            rows of (min_y, max_y, min_co, max_co, min_cg, max_cg), raw
+            bands)."""
             rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
             mm = jnp.stack(
-                [jnp.min(ycocg[..., 1], axis=(1, 2)),
+                [jnp.min(ycocg[..., 0], axis=(1, 2)),
+                 jnp.max(ycocg[..., 0], axis=(1, 2)),
+                 jnp.min(ycocg[..., 1], axis=(1, 2)),
                  jnp.max(ycocg[..., 1], axis=(1, 2)),
                  jnp.min(ycocg[..., 2], axis=(1, 2)),
                  jnp.max(ycocg[..., 2], axis=(1, 2))], axis=-1)
@@ -529,10 +612,17 @@ class Codec:
 
     # ------------------------------------------------------------------
     def _clr_range(self, clr: int, minmax: Sequence[int]) -> Tuple[int, int]:
-        """Symbol range per color; Y fixed [-127, 128] (reference
-        LLICTI_nets.py:394-395), Co/Cg bucketed dynamic."""
+        """Symbol range per color, bucketed dynamic per image content.
+
+        The reference fixes Y at [-127, 128] (LLICTI_nets.py:394-395) and
+        restricts only Co/Cg; we restrict Y too (clamped to the reference
+        range): CDF-table width and decode-scan cost scale with the
+        range, and the restriction is lossless — the per-image min/max
+        ride the header either way."""
         if clr == 0:
-            return -127, 128
+            lo, hi = bucket_range(int(minmax[0]) - 127,
+                                  int(minmax[3]) - 127)
+            return max(lo, -127), min(hi, 128)
         return bucket_range(int(minmax[clr]), int(minmax[3 + clr]))
 
     def _scale_shapes(self, S, last_h, last_w, pad_flags):
@@ -597,8 +687,8 @@ class Codec:
                                           cfg.dwtlevels)
         # one host sync for min/max + the raw header band together
         mm_np, x00_np = jax.device_get((mm, x00_raw))
-        min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np[0])
-        minmax = [0, min_co, min_cg, 255, max_co, max_cg]
+        mn_y, mx_y, mn_co, mx_co, mn_cg, mx_cg = (int(v) for v in mm_np[0])
+        minmax = [mn_y, mn_co, mn_cg, mx_y, mx_co, mx_cg]
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
         raw = np.asarray(x00_np).tobytes()
         streams: List[List[bytes]] = [
@@ -626,6 +716,21 @@ class Codec:
     def _ranges(self, minmax):
         return tuple(self._clr_range(clr, minmax) for clr in range(3))
 
+    def _pts3(self, ranges):
+        """Cached device-resident sampling grids, one per color.
+
+        Passed as runtime operands: a constant-folded grid becomes a
+        program literal whose per-grid-step DMA into the Pallas kernel
+        is ~400x slower (measured; see _cdf_cum)."""
+        out = []
+        for minv, maxv in ranges:
+            key = ("pts", minv, maxv)
+            if key not in self._const_cache:
+                self._const_cache[key] = jax.device_put(
+                    cdf_sampling_points(minv, maxv))
+            out.append(self._const_cache[key])
+        return tuple(out)
+
     def _pad_flags_t(self, pad_flags):
         return tuple((bool(a), bool(b)) for a, b in pad_flags)
 
@@ -649,7 +754,8 @@ class Codec:
         zero = self._const("i32", fill=0)
         _y, _rgb, buf, cursors, states = self._image_fn(
             self.params, x00_raw, tuple(y_list), dummy_words, dummy_states,
-            zero, self._pad_flags_t(pad_flags), ranges, self.N)
+            zero, self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
+            self.N)
         slice_meta = [(scl, b, clr) for scl in range(S - 1, -1, -1)
                       for b in range(3) for clr in range(3)]
         return slice_meta, cursors, states, buf
@@ -704,8 +810,9 @@ class Codec:
         stage2 = []
         for (y_list, _, x00_raw, pad_flags, pad_int, orig_h, orig_w), (
                 mm_np, x00_np) in zip(stage1, mms):
-            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np[0])
-            minmax = [0, min_co, min_cg, 255, max_co, max_cg]
+            mn_y, mx_y, mn_co, mx_co, mn_cg, mx_cg = (
+                int(v) for v in mm_np[0])
+            minmax = [mn_y, mn_co, mn_cg, mx_y, mx_co, mx_cg]
             last_h = y_list[S - 1].shape[1]
             last_w = y_list[S - 1].shape[2]
             streams = [self._header_group(S, last_h, last_w, orig_h, orig_w,
@@ -753,7 +860,8 @@ class Codec:
             for scl in range(S))
         y_lev, rgb, _buf, _curs, _est = self._image_fn(
             self.params, jnp.asarray(raw), y_direct, words, states, one,
-            self._pad_flags_t(pad_flags), ranges, self.N)
+            self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
+            self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
         return rgb
@@ -769,7 +877,7 @@ class Codec:
             payload = []
             for (b, clr, minv, maxv, ch, cw, pmap
                  ) in self._slices(y_lev, scl, pad_flags, minmax):
-                cdfu = self._cdf_u16(pmap, y_lev, b, clr, minv, maxv)
+                cdfu = self._cdf_u16(pmap, y_lev, self._pts3(((minv, maxv),))[0], b, clr)
                 lo, hi = self._gather_lohi(cdfu, y_lev, b, clr, ch, cw, minv)
                 payload.append((lo, hi))
             lohis = jax.device_get(payload)
@@ -798,7 +906,7 @@ class Codec:
                 ch, cw = band_coded_shape(h, w, b, padH, padW)
                 for clr in range(3):
                     minv, maxv = self._clr_range(clr, minmax)
-                    cdfu = self._cdf_u16(pmap, y_lev, b, clr, minv, maxv)
+                    cdfu = self._cdf_u16(pmap, y_lev, self._pts3(((minv, maxv),))[0], b, clr)
                     cdf_host = np.asarray(
                         jax.device_get(cdfu[:, :ch, :cw]))
                     syms = coder.decode_cdf(
@@ -898,8 +1006,9 @@ class Codec:
         pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
         y_list, mm, x00_raw = self._front(jnp.asarray(batch), cfg.dwtlevels)
         mm_np, x00_np = jax.device_get((mm, x00_raw))
-        minmax = [0, int(mm_np[:, 0].min()), int(mm_np[:, 2].min()),
-                  255, int(mm_np[:, 1].max()), int(mm_np[:, 3].max())]
+        minmax = [int(mm_np[:, 0].min()), int(mm_np[:, 2].min()),
+                  int(mm_np[:, 4].min()), int(mm_np[:, 1].max()),
+                  int(mm_np[:, 3].max()), int(mm_np[:, 5].max())]
         last_h = y_list[S - 1].shape[1]
         last_w = y_list[S - 1].shape[2]
         origs = np.array([[p[1], p[2]] for p in prepped], np.uint32)
@@ -956,7 +1065,8 @@ class Codec:
             for scl in range(S))
         y_lev, rgb, _buf, _curs, _est = self._image_fn(
             self.params, jnp.asarray(raw), y_direct, words, states, one,
-            self._pad_flags_t(pad_flags), ranges, self.N)
+            self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
+            self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
         out = np.asarray(jax.device_get(rgb))

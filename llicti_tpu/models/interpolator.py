@@ -150,11 +150,20 @@ class Interpolator(nn.Module):
     cfg: ModelConfig
     scale: int
     band: int
+    # Codec-path execution mode: run grouped convs as DENSE convs with
+    # block-diagonal kernels (the Codec expands the trained grouped
+    # kernels; zero-blocks contribute exact 0.0 terms).  Same math, but
+    # the MXU gets full 128-lane contractions instead of 88-channel
+    # groups (measured faster in the fused codec program).  Training
+    # keeps feature_group_count (identical numerics to the reference).
+    dense_groups: bool = False
 
     def setup(self):
         cfg = self.cfg
         grps, Ch, Co, c, grp0 = interpolator_dims(cfg, self.scale)
         self.grps, self.Ch, self.Co, self.c, self.grp0 = grps, Ch, Co, c, grp0
+        if self.dense_groups:
+            grps = grp0 = 1
         Ev = cfg.evens[self.scale]
         Od = cfg.odds[self.scale]
         band = self.band

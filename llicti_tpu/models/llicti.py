@@ -44,6 +44,9 @@ class LLICTIModel(nn.Module):
     """
 
     cfg: ModelConfig
+    # codec-path mode: grouped convs as dense block-diagonal convs (see
+    # Interpolator.dense_groups); params must be expanded to match
+    dense_groups: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -51,10 +54,13 @@ class LLICTIModel(nn.Module):
         models = []
         for m, scl in enumerate(owners):
             if cfg.combine_layers1toL:
-                bands = (Interpolator(cfg=cfg, scale=scl, band=-1),)
+                bands = (Interpolator(cfg=cfg, scale=scl, band=-1,
+                                      dense_groups=self.dense_groups),)
             else:
                 bands = tuple(
-                    Interpolator(cfg=cfg, scale=scl, band=b) for b in range(3)
+                    Interpolator(cfg=cfg, scale=scl, band=b,
+                                 dense_groups=self.dense_groups)
+                    for b in range(3)
                 )
             models.append(bands)
         self.models = models

@@ -76,6 +76,94 @@ def _cdf_kernel(pts_ref, std_ref, mean_ref, w_ref, out_ref, *, X, P):
     out_ref[...] = jnp.where(col == P - 1, 1 << 16, q)
 
 
+def _cdf_pmap_kernel(pts_ref, pmap_ref, y_ref, out_ref, *, M, P,
+                     std0, mean0, w0, upd, logistic):
+    """CDF table straight from the conv output block.
+
+    pmap block [bn, CO] is read in its natural (channel-minor) layout —
+    parameter-group slicing, bounds, weight renorm and the cross-color
+    mean updates all happen in VMEM, so no [n, M]-shaped operands (which
+    force layout-transposing DMAs) ever exist in HBM.
+    """
+    pm = pmap_ref[...]
+    bound = SCALE_BOUND_LOGISTIC if logistic else SCALE_BOUND_NORMAL
+    std = jnp.maximum(pm[:, std0:std0 + M], np.float32(bound))
+    w = jnp.maximum(pm[:, w0:w0 + M], np.float32(WEIGHT_BOUND))
+    w = w / (np.float32(1e-9) + jnp.sum(w, axis=-1, keepdims=True))
+    mean = pm[:, mean0:mean0 + M]
+    for coef0, ych in upd:
+        mean = mean + pm[:, coef0:coef0 + M] * y_ref[:, ych:ych + 1]
+    pts = pts_ref[0, :]  # [P]
+    inv = 1.0 / std  # bn*M divides once, not bn*M*P
+    bn = pm.shape[0]
+    acc = jnp.zeros((bn, P), jnp.float32)
+    for x in range(M):
+        z = (pts[None, :] - mean[:, x:x + 1]) * inv[:, x:x + 1]
+        cdf = jax.nn.sigmoid(z) if logistic else _phi(z)
+        acc = acc + w[:, x:x + 1] * cdf
+    new_max = np.float32(2 ** 16 - (P - 1))
+    q = jnp.round(jnp.clip(acc, 0.0, 1.0) * new_max).astype(jnp.int32)
+    shift = 1
+    while shift < P:
+        shifted = jnp.pad(q, ((0, 0), (shift, 0)),
+                          constant_values=-(2 ** 30))[:, :P]
+        q = jnp.maximum(q, shifted)
+        shift <<= 1
+    q = q + jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
+    out_ref[...] = jnp.where(col == P - 1, 1 << 16, q)
+
+
+@functools.partial(jax.jit,
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def gmm_cdf_from_pmap_pallas(points, pmap, y_lev, M, std0, mean0, w0,
+                             upd=(), logistic=False,
+                             block_pixels: int = 0):
+    """int32 cum table computed directly from the conv parameter map.
+
+    points: [P]; pmap: [..., CO] (GMM parameter map, channel-minor as the
+    conv produces it); y_lev: [..., YC] conditioning tensor (for the
+    cross-color mean updates).  ``M`` mixtures; std/mean/w occupy columns
+    [std0:std0+M] etc; ``upd`` is a tuple of (coef_col, y_channel) pairs
+    applying mean += pmap[..., coef_col:coef_col+M] * y[..., y_channel].
+    Returns [..., P] int32 with cum[..., -1] == 2^16.
+
+    The flatten [..., CO] -> [n, CO] is a bitcast (channel-minor), so the
+    kernel's operand DMAs are contiguous row blocks — this is what makes
+    it fast in-program where [n, M]-operand kernels stall on relayouts.
+    """
+    X = M
+    P = points.shape[0]
+    lead = pmap.shape[:-1]
+    CO = pmap.shape[-1]
+    YC = y_lev.shape[-1]
+    n = int(np.prod(lead))
+    # VMEM budget (~16 MB scoped): acc/q/out [bn, P] f32/i32 + double-
+    # buffered operand blocks; bn*P*4 must stay well under the limit
+    bn = block_pixels or (512 if P > 384 else 1024)
+    bn = min(bn, max(512, -(-n // 512) * 512))
+    n_pad = -(-n // bn) * bn
+    pm2 = jnp.pad(pmap.reshape(n, CO), ((0, n_pad - n), (0, 0)),
+                  constant_values=1.0)
+    y2 = jnp.pad(y_lev.reshape(n, YC), ((0, n_pad - n), (0, 0)))
+    pts2 = points.reshape(1, P).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_cdf_pmap_kernel, M=X, P=P, std0=std0,
+                          mean0=mean0, w0=w0, upd=tuple(upd),
+                          logistic=logistic),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P), jnp.int32),
+        grid=(n_pad // bn,),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
+        in_specs=[
+            pl.BlockSpec((1, P), lambda i: (0, 0)),
+            pl.BlockSpec((bn, CO), lambda i: (i, 0)),
+            pl.BlockSpec((bn, YC), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, P), lambda i: (i, 0)),
+    )(pts2, pm2, y2)
+    return out[:n].reshape(lead + (P,))
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def gmm_cdf_table_int32_pallas(points, stdevs, means, weights,
                                block_pixels: int = 512):

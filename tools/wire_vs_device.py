@@ -114,10 +114,10 @@ def main() -> None:
     states_np, words_np = rd.unpack_stream(streams[1][0], codec.N)
     up = -(-max(1, words_np.size) // 16384) * 16384
     w_small = jnp.asarray(
-        np.pad(words_np.astype(np.uint16), (0, up - words_np.size)))
+        np.pad(words_np.astype(np.uint16), (0, up - words_np.size))[None])
     cap = codec._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
     words_dev = jax.block_until_ready(codec._pad_words(w_small, cap))
-    states0 = jnp.asarray(states_np, jnp.uint32)
+    states0 = jnp.asarray(states_np[None], jnp.uint32)
     raw_dev = jnp.asarray(raw)
     one = jnp.int32(1)
 
@@ -132,7 +132,7 @@ def main() -> None:
     def device_decode():
         _y, rgb, _b, _c, _s = codec._image_fn(
             codec.params, raw_dev, y_direct, words_dev, states0, one,
-            pf_t, ranges, codec.N)
+            codec._pts3(ranges), pf_t, ranges, codec.N)
         return rgb
 
     jax.block_until_ready(device_decode())  # warm
