@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""The reference's eval_model protocol over ALL real holdout images,
+with committable evidence.
+
+Mirrors agents/llicti_agent.py:122-164: per image, real codec round-trip
+(actual bytes -> bpsp), bit-exactness check, enc/dec wall times, PLUS the
+estimate-vs-actual cross-check (rate_dist.py:97-135) and the test-epoch
+scale x band x color rate table (loggers/rate.py:120-168).
+
+Writes docs/eval_r3/eval_log.txt + results.json (NOT gitignored) so the
+repo itself carries the rate evidence, the way the reference ships
+experiments/.../logs/exp_debug.log.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(out_dir: str) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/llicti_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llicti_tpu.codec import Codec
+    from llicti_tpu.config import ModelConfig
+    from llicti_tpu.data.dataset import list_images, load_rgb
+    from llicti_tpu.models.llicti import LLICTIModel
+    from llicti_tpu.training.trainer import pad_to_multiple
+    from llicti_tpu.utils.checkpoint import CheckpointManager
+    from llicti_tpu.utils.logging_utils import RateLogger
+
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, "eval_log.txt")
+    logger = logging.getLogger("eval_protocol")
+    logger.setLevel(logging.INFO)
+    logger.handlers = [logging.FileHandler(log_path, mode="w"),
+                       logging.StreamHandler()]
+    for h in logger.handlers:
+        h.setFormatter(logging.Formatter("%(message)s"))
+
+    cfg = ModelConfig()
+    model = LLICTIModel(cfg=cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)))
+    params, meta = CheckpointManager(
+        os.path.join(REPO, "bench_ckpt")).load("bench", params)
+    logger.info("checkpoint: %s", json.dumps(meta))
+    on_tpu = jax.default_backend() == "tpu"
+    codec = Codec(cfg, params, use_pallas_cdf=on_tpu,
+                  num_lanes=1024 if on_tpu else 128)
+    eval_step = jax.jit(lambda p, x: sum(jnp.sum(si)
+                                         for si in model.apply(p, x)))
+
+    mult = 2 ** (max(cfg.dwtlevels) + 1)
+    test_logger = RateLogger("eval-rate")
+    test_logger.logger = logger
+
+    results = []
+
+    def run_split(split: str, crop: int = 0, label: str = ""):
+        label = label or split
+        files = list_images([os.path.join(REPO, "data_corpus", split)])
+        for idx, f in enumerate(files):
+            img = load_rgb(f)
+            if crop:
+                img = img[:crop, :crop]
+            # pad-free arbitrary sizes ride the codec's pad-flag path
+            t0 = time.time()
+            streams = codec.compress(img)
+            enc_t = time.time() - t0
+            t0 = time.time()
+            out = codec.decompress(streams, xorg=img)
+            dec_t = time.time() - t0
+            nbytes = Codec.num_bytes(streams)
+            bpsp = nbytes * 8 / img.size
+            xpad = pad_to_multiple(img[None].astype(np.float32) / 255.0,
+                                   mult)
+            # est/act both count the replicate-padded region (the codec
+            # codes it then crops), normalized per ORIGINAL subpixel like
+            # the actual bpsp above
+            est_bits = float(eval_step(params, jnp.asarray(xpad)))
+            est_bpsp = est_bits / img.size
+            act_bits = sum(sum(row) for row in codec.last_slice_bits)
+            gap = (act_bits - est_bits) / max(est_bits, 1) * 100
+            ok = bool(np.array_equal(out[0], img))
+            numel = img.size
+            hdr_row = ([len(s) * 8 / numel * 3 for s in streams[0]]
+                       + [0.0] * 9)[:9]
+            slice_rows = [[b / numel * 3 for b in row]
+                          for row in codec.last_slice_bits]
+            test_logger(np.asarray([hdr_row] + slice_rows))
+            msg = (f"{label}:{idx:2d} {os.path.basename(f)[:28]:28s} "
+                   f"{img.shape[0]:4d}x{img.shape[1]:4d} "
+                   f"bpsp= {bpsp:.3f} (est {est_bpsp:.3f}, gap {gap:+.1f}%) "
+                   f"ycocg_err={codec.last_ycocg_err} "
+                   f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
+            msg += ("(Check: Decoded img matches original)" if ok else
+                    "(Error: Decoded img does NOT match original!)")
+            logger.info(msg)
+            results.append(dict(split=label, file=os.path.basename(f),
+                                h=img.shape[0], w=img.shape[1],
+                                bpsp=round(bpsp, 4),
+                                est_bpsp=round(est_bpsp, 4),
+                                est_gap_pct=round(gap, 2),
+                                ycocg_err=codec.last_ycocg_err,
+                                enc_t=round(enc_t, 3),
+                                dec_t=round(dec_t, 3), ok=ok))
+
+    run_split("valid")
+    run_split("test")
+    # 512-crop variants of the test images (reference bench-size crops)
+    run_split("test", crop=512, label="test_crop512")
+
+    test_logger.display(typ="te", epoch=0)
+    by = {}
+    for r in results:
+        by.setdefault(r["split"], []).append(r["bpsp"])
+    summary = {
+        "checkpoint": meta,
+        "device": str(jax.devices()[0]),
+        "n_images": len(results),
+        "all_lossless": all(r["ok"] for r in results),
+        "max_abs_gap_pct": max(abs(r["est_gap_pct"]) for r in results),
+        "mean_bpsp": round(float(np.mean([r["bpsp"] for r in results])), 4),
+        "mean_bpsp_by_split": {k: round(float(np.mean(v)), 4)
+                               for k, v in by.items()},
+        "per_image": results,
+    }
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    logger.info("summary: %s", json.dumps(
+        {k: v for k, v in summary.items() if k != "per_image"}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else
+         os.path.join(REPO, "docs", "eval_r3"))
