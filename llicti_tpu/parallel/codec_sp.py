@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..codec import gmm_slice_params, sym_channel
+from ..codec import dense_group_params, gmm_slice_params, sym_channel
 from ..coder import rans_device as rd
 from ..config import ModelConfig
 from ..models.llicti import LLICTIModel
@@ -117,7 +117,10 @@ class ShardedCodec:
         self.G = self.mesh.devices.size
         self.N = num_lanes
         self.last_slice_bits: Optional[List[List[int]]] = None
-        self.model = LLICTIModel(cfg=cfg)
+        # dense block-diagonal execution of grouped convs (same math,
+        # full MXU contractions — llicti_tpu/codec.py:dense_group_params)
+        params = dense_group_params(params, cfg)
+        self.model = LLICTIModel(cfg=cfg, dense_groups=True)
         mesh_ = self.mesh
         G, N = self.G, self.N
         c = cfg.cond_channels
@@ -151,7 +154,7 @@ class ShardedCodec:
         # skipped under lax.cond and per-shard per-symbol (start, freq)
         # pairs come out for its chain).
         def _band_body_sp(params_, y_lev, words, states, offs, enable, sf,
-                          scl, b, ranges):
+                          scl, b, ranges, pts3):
             if seqmd:
                 base = model.apply(params_, y_lev[..., 0:c * (b + 1)],
                                    scl, b, method=LLICTIModel.band_base)
@@ -171,9 +174,11 @@ class ShardedCodec:
                 minv, maxv = ranges[clr]
                 stdevs, means, weights = gmm_slice_params(
                     cfg, pmap, y_lev, b, clr)
-                pts = cdf_sampling_points(minv, maxv)
+                # pts3[clr] is a runtime operand: a constant-folded grid
+                # is pathologically slow to stream per block (see
+                # llicti_tpu/codec.py:_cdf_cum)
                 cum = rd.cdf_float_to_cum_int32(gmm_cdf_table(
-                    pts, stdevs, means, weights, logistic=logistic))
+                    pts3[clr], stdevs, means, weights, logistic=logistic))
                 cum = jax.lax.with_sharding_constraint(cum, sh_img)
 
                 def body(cum_blk, y_blk, words_blk, states_blk, off_blk, en,
@@ -232,11 +237,11 @@ class ShardedCodec:
                 sf.append(fr_arr)
             return y_lev, states, offs
 
-        @partial(jax.jit, static_argnums=(8, 9),
+        @partial(jax.jit, static_argnums=(9, 10),
                  in_shardings=(repl, repl, sh_img, sh_img, sh_row, sh_row,
-                               sh_row, repl))
+                               sh_row, repl, repl))
         def scale_fn(params_, raw_u8, y_prev, y_direct, words, states, offs,
-                     enable, scl, ranges):
+                     enable, pts3, scl, ranges):
             """Decode-or-encode one whole scale in one executable.
 
             raw_u8: the raw uint8 header band (used at scl == S-1 only).
@@ -266,7 +271,7 @@ class ShardedCodec:
             for b in range(3):
                 y_lev, states, offs = _band_body_sp(
                     params_, y_lev, words, states, offs, enable, sf,
-                    scl, b, ranges)
+                    scl, b, ranges, pts3)
             if scl == 0:
                 y_c = interleave_scale(y_lev, c)
                 y_3ch = y_c[..., clr_off:clr_off + 3]
@@ -360,6 +365,17 @@ class ShardedCodec:
                 jnp.zeros(shape, jnp.float32), self.sh_img)
         return self._zeros_cache[shape]
 
+    def _pts3(self, ranges) -> Tuple[jnp.ndarray, ...]:
+        """Cached replicated sampling grids (runtime operands)."""
+        out = []
+        for minv, maxv in ranges:
+            key = ("pts", minv, maxv)
+            if key not in self._zeros_cache:
+                self._zeros_cache[key] = jax.device_put(
+                    cdf_sampling_points(minv, maxv), self.repl)
+            out.append(self._zeros_cache[key])
+        return tuple(out)
+
     # ------------------------------------------------------------------
     def _pad_multiple(self) -> Tuple[int, int]:
         st = 2 ** (max(self.cfg.dwtlevels) + 1)
@@ -415,7 +431,8 @@ class ShardedCodec:
             y_prev = y_list[scl + 1] if scl < S - 1 else y_list[scl]
             _y, _s, _o, st9, fr9, _rgb = self._scale_fn(
                 self.params, x00_raw, y_prev, y_list[scl], dummy_words,
-                dummy_states, dummy_offs, zero, scl, ranges)
+                dummy_states, dummy_offs, zero, self._pts3(ranges), scl,
+                ranges)
             self.dispatch_counts["encode"] += 1
             scale_sf.append((st9, fr9))
         # chained per-shard encode: scales fine->coarse (reverse decode
@@ -557,7 +574,7 @@ class ShardedCodec:
             y_prev = y_lev if scl < S - 1 else y_direct
             y_lev, states, offs, _st, _fr, rgb = self._scale_fn(
                 self.params, raw_dev, y_prev, y_direct, words, states,
-                offs, one, scl, ranges)
+                offs, one, self._pts3(ranges), scl, ranges)
             self.dispatch_counts["decode"] += 1
         self._last_y_lev = y_lev
         return rgb, orig_h, orig_w
