@@ -289,8 +289,9 @@ class Codec:
         def _gmm_params(pmap, y_lev, b, clr):
             return gmm_slice_params(cfg, pmap, y_lev, b, clr)
 
-        def _cdf_cum(pmap, y_lev, b, clr, pts):
-            """[K,h,w,P] int32 cum table (device-backend contract).
+        def _cdf_cum(pmap, y_lev, b, clr, pts, minv):
+            """[K,h,w,P] int32 cum table (+ encoder (start, freq) maps on
+            the Pallas path, else None) — device-backend contract.
 
             ``pts`` MUST be a runtime operand, not a trace-time constant:
             a constant-folded sampling grid becomes a program literal
@@ -305,9 +306,11 @@ class Codec:
                 # [n, M]-shaped HBM operands that stall on relayout DMAs)
                 Mx, std0, mean0, w0, upd = pmap_cdf_spec(cfg, b, clr)
                 return gmm_cdf_from_pmap_pallas(
-                    pts, pmap, y_lev, Mx, std0, mean0, w0, upd, logistic)
-            return rd.cdf_float_to_cum_int32(
+                    pts, pmap, y_lev, Mx, std0, mean0, w0, upd, logistic,
+                    sym_ch(b, clr), minv)
+            cum = rd.cdf_float_to_cum_int32(
                 _cdf_float(pmap, y_lev, b, clr, pts))
+            return cum, None, None
 
         # ---- per-band traceable body (composed into the image program) -----
         # conv -> 3x(CDF table -> (start,freq) extraction [encode, cond] ->
@@ -338,30 +341,39 @@ class Codec:
                         params_, base, y_seq, scl, b, clr,
                         method=LLICTIModel.band_params_seq)
                 minv, maxv = ranges[clr]
-                cum = _cdf_cum(pmap, y_lev, b, clr, pts3[clr])
+                cum, kst, kfr = _cdf_cum(pmap, y_lev, b, clr, pts3[clr],
+                                         minv)
                 cc = cum[:, :ch_, :cw]
-                # encode-side: look up (start, freq) at the true symbols,
-                # via one-hot masked sums instead of take_along_axis
-                # (XLA:TPU gathers are slow; masked reductions are pure
-                # VPU work).  Skipped under cond when decoding — two full
-                # passes over the CDF table saved per slice.
-                def enc_sf(cc, b=b, clr=clr, minv=minv, ch_=ch_, cw=cw,
-                           n=n, bucket=bucket):
-                    yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
-                    sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
-                    sym = jnp.clip(sym, 0, cc.shape[-1] - 2)[..., None]
-                    iota = jnp.arange(cc.shape[-1], dtype=jnp.int32)
-                    lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
-                    hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0), axis=-1)
-                    padn = ((0, 0), (0, bucket - n))
-                    return (jnp.pad(lo.reshape(K, -1), padn),
-                            jnp.pad((hi - lo).reshape(K, -1), padn))
+                padn = ((0, 0), (0, bucket - n))
+                if kst is not None:
+                    # Pallas path: (start, freq) came out of the CDF
+                    # kernel itself (one masked reduction in VMEM); crop
+                    # the pad row/col and bucket-pad (freq 0 = no-op)
+                    st_arr = jnp.pad(
+                        kst[:, :ch_, :cw].reshape(K, -1), padn)
+                    fr_arr = jnp.pad(
+                        kfr[:, :ch_, :cw].reshape(K, -1), padn)
+                else:
+                    # XLA path: look up (start, freq) at the true
+                    # symbols via one-hot masked sums (gathers are slow
+                    # on TPU); skipped under cond when decoding
+                    def enc_sf(cc, b=b, clr=clr, minv=minv, ch_=ch_,
+                               cw=cw, n=n, bucket=bucket):
+                        yv = y_lev[:, :ch_, :cw, sym_ch(b, clr)]
+                        sym = jnp.round(yv * 255.0).astype(jnp.int32) - minv
+                        sym = jnp.clip(sym, 0, cc.shape[-1] - 2)[..., None]
+                        iota = jnp.arange(cc.shape[-1], dtype=jnp.int32)
+                        lo = jnp.sum(jnp.where(iota == sym, cc, 0), axis=-1)
+                        hi = jnp.sum(jnp.where(iota == sym + 1, cc, 0),
+                                     axis=-1)
+                        return (jnp.pad(lo.reshape(K, -1), padn),
+                                jnp.pad((hi - lo).reshape(K, -1), padn))
 
-                def no_sf(cc, bucket=bucket):
-                    z = jnp.zeros((K, bucket), jnp.int32)
-                    return z, z
+                    def no_sf(cc, bucket=bucket):
+                        z = jnp.zeros((K, bucket), jnp.int32)
+                        return z, z
 
-                st_arr, fr_arr = jax.lax.cond(on, no_sf, enc_sf, cc)
+                    st_arr, fr_arr = jax.lax.cond(on, no_sf, enc_sf, cc)
                 sf.append(st_arr)
                 sf.append(fr_arr)
                 # decode-side: rANS scan under cond (skipped when encoding)

@@ -76,14 +76,20 @@ def _cdf_kernel(pts_ref, std_ref, mean_ref, w_ref, out_ref, *, X, P):
     out_ref[...] = jnp.where(col == P - 1, 1 << 16, q)
 
 
-def _cdf_pmap_kernel(pts_ref, pmap_ref, y_ref, out_ref, *, M, P,
-                     std0, mean0, w0, upd, logistic):
+def _cdf_pmap_kernel(pts_ref, pmap_ref, y_ref, out_ref, st_ref, fr_ref, *,
+                     M, P, std0, mean0, w0, upd, logistic, sym_ch, minv):
     """CDF table straight from the conv output block.
 
     pmap block [bn, CO] is read in its natural (channel-minor) layout —
     parameter-group slicing, bounds, weight renorm and the cross-color
     mean updates all happen in VMEM, so no [n, M]-shaped operands (which
     force layout-transposing DMAs) ever exist in HBM.
+
+    Also emits the encoder's per-symbol (start, freq) pair looked up at
+    the true symbol (y channel ``sym_ch``) — one masked reduction over
+    the VMEM-resident table, saving the encoder two full HBM passes.
+    Decode ignores these outputs; computing them unconditionally keeps
+    ONE kernel for both directions (bit-identical tables by sharing).
     """
     pm = pmap_ref[...]
     bound = SCALE_BOUND_LOGISTIC if logistic else SCALE_BOUND_NORMAL
@@ -111,22 +117,34 @@ def _cdf_pmap_kernel(pts_ref, pmap_ref, y_ref, out_ref, *, M, P,
         shift <<= 1
     q = q + jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, P), 1)
-    out_ref[...] = jnp.where(col == P - 1, 1 << 16, q)
+    q = jnp.where(col == P - 1, 1 << 16, q)
+    out_ref[...] = q
+    # encoder (start, freq) from the SAME quantized table in VMEM
+    yv = y_ref[:, sym_ch]
+    sym = jnp.round(yv * np.float32(255.0)).astype(jnp.int32) - minv
+    sym = jnp.clip(sym, 0, P - 2)[:, None]
+    lo = jnp.sum(jnp.where(col == sym, q, 0), axis=-1)
+    hi = jnp.sum(jnp.where(col == sym + 1, q, 0), axis=-1)
+    st_ref[...] = lo[:, None]
+    fr_ref[...] = (hi - lo)[:, None]
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(3, 4, 5, 6, 7, 8, 9))
+                   static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def gmm_cdf_from_pmap_pallas(points, pmap, y_lev, M, std0, mean0, w0,
-                             upd=(), logistic=False,
+                             upd=(), logistic=False, sym_ch=0, minv=0,
                              block_pixels: int = 0):
-    """int32 cum table computed directly from the conv parameter map.
+    """int32 cum table + encoder (start, freq) from the conv param map.
 
     points: [P]; pmap: [..., CO] (GMM parameter map, channel-minor as the
     conv produces it); y_lev: [..., YC] conditioning tensor (for the
-    cross-color mean updates).  ``M`` mixtures; std/mean/w occupy columns
-    [std0:std0+M] etc; ``upd`` is a tuple of (coef_col, y_channel) pairs
-    applying mean += pmap[..., coef_col:coef_col+M] * y[..., y_channel].
-    Returns [..., P] int32 with cum[..., -1] == 2^16.
+    cross-color mean updates and the symbol channel).  ``M`` mixtures;
+    std/mean/w occupy columns [std0:std0+M] etc; ``upd`` is a tuple of
+    (coef_col, y_channel) pairs applying
+    mean += pmap[..., coef_col:coef_col+M] * y[..., y_channel].
+    Returns (cum [..., P] int32 with cum[..., -1] == 2^16,
+    start [...] int32, freq [...] int32) — the latter two looked up at
+    symbol round(y[..., sym_ch]*255) - minv.
 
     The flatten [..., CO] -> [n, CO] is a bitcast (channel-minor), so the
     kernel's operand DMAs are contiguous row blocks — this is what makes
@@ -147,11 +165,13 @@ def gmm_cdf_from_pmap_pallas(points, pmap, y_lev, M, std0, mean0, w0,
                   constant_values=1.0)
     y2 = jnp.pad(y_lev.reshape(n, YC), ((0, n_pad - n), (0, 0)))
     pts2 = points.reshape(1, P).astype(jnp.float32)
-    out = pl.pallas_call(
+    out, st, fr = pl.pallas_call(
         functools.partial(_cdf_pmap_kernel, M=X, P=P, std0=std0,
                           mean0=mean0, w0=w0, upd=tuple(upd),
-                          logistic=logistic),
-        out_shape=jax.ShapeDtypeStruct((n_pad, P), jnp.int32),
+                          logistic=logistic, sym_ch=sym_ch, minv=minv),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, P), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)),
         grid=(n_pad // bn,),
         interpret=jax.default_backend() != "tpu",  # CPU tests
         in_specs=[
@@ -159,9 +179,13 @@ def gmm_cdf_from_pmap_pallas(points, pmap, y_lev, M, std0, mean0, w0,
             pl.BlockSpec((bn, CO), lambda i: (i, 0)),
             pl.BlockSpec((bn, YC), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bn, P), lambda i: (i, 0)),
+        out_specs=(pl.BlockSpec((bn, P), lambda i: (i, 0)),
+                   pl.BlockSpec((bn, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((bn, 1), lambda i: (i, 0))),
     )(pts2, pm2, y2)
-    return out[:n].reshape(lead + (P,))
+    return (out[:n].reshape(lead + (P,)),
+            st[:n, 0].reshape(lead),
+            fr[:n, 0].reshape(lead))
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

@@ -68,11 +68,23 @@ def test_pmap_cdf_spec_matches_slice_params(mode):
             s, m, w = gmm_slice_params(cfg, pmap, y, b, clr)
             ref = rd.cdf_float_to_cum_int32(gmm_cdf_table(pts, s, m, w))
             M, s0, m0, w0, upd = pmap_cdf_spec(cfg, b, clr)
-            got = gmm_cdf_from_pmap_pallas(pts, pmap, y, M, s0, m0, w0,
-                                           upd, False)
+            from llicti_tpu.codec import sym_channel
+            ch = sym_channel(cfg, b, clr)
+            got, kst, kfr = gmm_cdf_from_pmap_pallas(
+                pts, pmap, y, M, s0, m0, w0, upd, False, ch, -63)
             diff = np.abs(np.asarray(ref, np.int64)
                           - np.asarray(got, np.int64)).max()
             assert diff <= 2, (b, clr, diff)
+            # the kernel's (start, freq) equal the table lookup at the
+            # true symbols
+            gnp = np.asarray(got)
+            sym = np.clip(np.round(np.asarray(y[..., ch]) * 255.0
+                                   ).astype(np.int64) + 63, 0,
+                          gnp.shape[-1] - 2)
+            lo = np.take_along_axis(gnp, sym[..., None], -1)[..., 0]
+            hi = np.take_along_axis(gnp, sym[..., None] + 1, -1)[..., 0]
+            np.testing.assert_array_equal(np.asarray(kst), lo)
+            np.testing.assert_array_equal(np.asarray(kfr), hi - lo)
 
 
 def test_dynamic_y_range_header_roundtrip():
@@ -90,3 +102,23 @@ def test_dynamic_y_range_header_roundtrip():
     minmax = np.frombuffer(streams[0][1], np.int16)
     lo, hi = codec._clr_range(0, [int(v) for v in minmax])
     assert hi - lo < 255  # restricted vs the fixed [-127, 128]
+
+
+def test_roundtrip_with_pallas_cdf_interpret():
+    """Full codec round-trip through the Pallas CDF path (interpret mode
+    on CPU): in-kernel (start,freq) must feed the encode chain exactly."""
+    cfg = small_cfg()
+    from test_codec_roundtrip import make_codec, natural_image
+
+    model = LLICTIModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    codec = Codec(cfg, params, num_lanes=16, use_pallas_cdf=True)
+    img = natural_image(33, 37, seed=4)  # odd size: crop path too
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
+    # byte-identical to the XLA path? NOT required (A&S erf vs erfc),
+    # but rate must be close
+    codec2 = Codec(cfg, params, num_lanes=16, use_pallas_cdf=False)
+    s2 = codec2.compress(img)
+    assert abs(Codec.num_bytes(streams) - Codec.num_bytes(s2)) < 64
