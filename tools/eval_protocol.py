@@ -43,10 +43,15 @@ def main(out_dir: str) -> None:
     from llicti_tpu.utils.logging_utils import RateLogger
 
     os.makedirs(out_dir, exist_ok=True)
+    # LLICTI_EVAL_APPEND=1: merge into an existing results.json instead of
+    # starting fresh — used to add images that need a separate process
+    # (e.g. a shape family that crashed the TPU worker, re-run on CPU)
+    append = os.environ.get("LLICTI_EVAL_APPEND") == "1"
     log_path = os.path.join(out_dir, "eval_log.txt")
     logger = logging.getLogger("eval_protocol")
     logger.setLevel(logging.INFO)
-    logger.handlers = [logging.FileHandler(log_path, mode="w"),
+    logger.handlers = [logging.FileHandler(log_path,
+                                           mode="a" if append else "w"),
                        logging.StreamHandler()]
     for h in logger.handlers:
         h.setFormatter(logging.Formatter("%(message)s"))
@@ -69,11 +74,19 @@ def main(out_dir: str) -> None:
     test_logger.logger = logger
 
     results = []
+    if append and os.path.exists(os.path.join(out_dir, "results.json")):
+        with open(os.path.join(out_dir, "results.json")) as f:
+            prior = json.load(f).get("per_image", [])
+        # keep prior entries except ones this run will redo
+        results.extend(prior)
 
     # files that crash the TPU worker can be excluded and re-run in a
-    # fresh process (the persistent compile cache makes restarts cheap)
+    # fresh process (the persistent compile cache makes restarts cheap);
+    # LLICTI_EVAL_ONLY restricts a run to the named files (the re-run)
     skip = set(filter(None, os.environ.get(
         "LLICTI_EVAL_SKIP", "").split(",")))
+    only = set(filter(None, os.environ.get(
+        "LLICTI_EVAL_ONLY", "").split(",")))
 
     def flush():
         by = {}
@@ -111,6 +124,13 @@ def main(out_dir: str) -> None:
         label = label or split
         files = list_images([os.path.join(REPO, "data_corpus", split)])
         for idx, f in enumerate(files):
+            if only and os.path.basename(f) not in only:
+                continue
+            if only:
+                # re-run: drop any prior entry for this (split, file)
+                results[:] = [r for r in results
+                              if not (r["split"] == label and
+                                      r["file"] == os.path.basename(f))]
             if os.path.basename(f) in skip:
                 logger.info("%s:%2d %s SKIPPED (LLICTI_EVAL_SKIP)",
                             label, idx, os.path.basename(f))
@@ -133,6 +153,17 @@ def main(out_dir: str) -> None:
             flush()
 
     def run_image(label, idx, f, img):
+            t0 = time.time()
+            streams = codec.compress(img)
+            enc_cold = time.time() - t0
+            t0 = time.time()
+            out = codec.decompress(streams, xorg=img)
+            dec_cold = time.time() - t0
+            # Warm re-run: the first visit to a shape family pays XLA
+            # compilation through the tunnel (tens of seconds); the
+            # reference's per-image Enc/Dec times are steady-state
+            # (agents/llicti_agent.py:135-149), so report warm times in
+            # the log line and keep cold times in results.json.
             t0 = time.time()
             streams = codec.compress(img)
             enc_t = time.time() - t0
@@ -161,7 +192,8 @@ def main(out_dir: str) -> None:
                    f"{img.shape[0]:4d}x{img.shape[1]:4d} "
                    f"bpsp= {bpsp:.3f} (est {est_bpsp:.3f}, gap {gap:+.1f}%) "
                    f"ycocg_err={codec.last_ycocg_err} "
-                   f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
+                   f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} "
+                   f"(cold {enc_cold:.1f}/{dec_cold:.1f}) ")
             msg += ("(Check: Decoded img matches original)" if ok else
                     "(Error: Decoded img does NOT match original!)")
             logger.info(msg)
@@ -172,7 +204,9 @@ def main(out_dir: str) -> None:
                                 est_gap_pct=round(gap, 2),
                                 ycocg_err=codec.last_ycocg_err,
                                 enc_t=round(enc_t, 3),
-                                dec_t=round(dec_t, 3), ok=ok))
+                                dec_t=round(dec_t, 3),
+                                enc_t_cold=round(enc_cold, 3),
+                                dec_t_cold=round(dec_cold, 3), ok=ok))
 
     run_split("valid")
     run_split("test")

@@ -67,6 +67,12 @@ def main() -> None:
         REPO, "experiments", "corpus_run"))
     ap.add_argument("--bench-out", default=os.path.join(REPO, "bench_ckpt"),
                     help="export best params here for bench.py ('' disables)")
+    ap.add_argument("--state-mirror",
+                    default=os.path.join(REPO, "train_state"),
+                    help="committed dir mirroring the FULL TrainState "
+                         "(params+Adam moments+scheduler) on exit, so "
+                         "optimizer progress survives container resets "
+                         "(experiments/ is gitignored; '' disables)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--patch", type=int, default=160)
     ap.add_argument("--grad-acc", type=int, default=2)
@@ -154,6 +160,19 @@ def main() -> None:
         state = set_learning_rate(state, sched.lr)
         print(f"resumed at step {int(state.step)} "
               f"(best_val {best_val:.4f}, lr {sched.lr:.2e})", flush=True)
+    elif (args.state_mirror
+          and CheckpointManager(args.state_mirror).exists("checkpoint")):
+        # Full-state resume from the committed mirror: unlike the bench
+        # warm start below this keeps Adam moments, the plateau
+        # scheduler's bad-epoch counts, and the decayed LR.
+        state, meta = CheckpointManager(args.state_mirror).load(
+            "checkpoint", state)
+        sched.load_state_dict(meta.get("scheduler", sched.state_dict()))
+        best_val = meta.get("best_valid_loss", best_val)
+        state = set_learning_rate(state, sched.lr)
+        print(f"resumed from mirror {args.state_mirror} at step "
+              f"{int(state.step)} (best_val {best_val:.4f}, "
+              f"lr {sched.lr:.2e})", flush=True)
     elif args.bench_out and CheckpointManager(args.bench_out).exists("bench"):
         # Warm start: no full TrainState survives (experiments/ is not
         # committed), but the best exported params do.  Adam moments
@@ -232,6 +251,14 @@ def main() -> None:
                          "corpus": "data_corpus", "valid_bpsp": vl / 3})
     if metrics is not None:
         save(state)
+        if args.state_mirror:
+            CheckpointManager(args.state_mirror).save("checkpoint", state, {
+                "scheduler": sched.state_dict(),
+                "best_valid_loss": best_val,
+                "step": int(state.step),
+            })
+            print(f"mirrored full TrainState to {args.state_mirror}",
+                  flush=True)
     print(f"stopped at step {int(state.step)} "
           f"(best valid {best_val:.4f} bpp = {best_val/3:.4f} bpsp, "
           f"{time.time()-t0:.0f}s, "
