@@ -27,6 +27,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main(out_dir: str) -> None:
     import jax
 
+    # LLICTI_EVAL_PLATFORM=cpu: run off-TPU (e.g. re-running a shape
+    # family that crashes the TPU worker while the chip does other work)
+    if os.environ.get("LLICTI_EVAL_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          os.environ["LLICTI_EVAL_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/llicti_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
