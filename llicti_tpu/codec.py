@@ -251,6 +251,12 @@ class Codec:
         self.model = LLICTIModel(cfg=cfg, dense_groups=True)
         self.pool = futures.ThreadPoolExecutor(max_workers=num_threads)
         self.last_slice_bits: Optional[List[List[int]]] = None
+        # per-image tables from the last compress_batch call
+        self.last_slice_bits_batch: Optional[List[List[List[int]]]] = None
+        # range-restricted ideal code length (from the quantized tables
+        # the coder uses) for the last compress/compress_batch call
+        self.last_ideal_bits: Optional[List[List[float]]] = None
+        self.last_ideal_bits_batch: Optional[List[List[List[float]]]] = None
 
         M = cfg.num_mixtures
         c = cfg.cond_channels  # 3 for clrjnt 0/2, 4 for clrjnt 1 (zero ch)
@@ -489,7 +495,24 @@ class Codec:
 
             buf, cursors, enc_states = jax.lax.cond(
                 on, skip_chain, do_chain, tuple(sf))
-            return y_lev, rgb, buf, cursors, enc_states
+            # per-slice IDEAL code length from the quantized tables the
+            # coder actually uses: sum -log2(freq/2^16) over real symbols
+            # (freq 0 marks bucket padding).  This is the range-restricted
+            # estimate — comparing it against (a) the model's full-range
+            # differentiable estimate isolates the per-image dynamic-range
+            # saving, and against (b) the actual stream isolates rANS
+            # overhead (lane flush + renorm quantization).  Decode-side:
+            # zeros on the XLA path (sf skipped under cond); harmless.
+            ideal = []
+            for st_arr, fr_arr in zip(sf[0::2], sf[1::2]):
+                fr_f = jnp.maximum(fr_arr, 1).astype(jnp.float32)
+                bits = jnp.sum(
+                    jnp.where(fr_arr > 0,
+                              np.float32(16.0) - jnp.log2(fr_f), 0.0),
+                    axis=1)
+                ideal.append(bits)
+            ideal_bits = jnp.stack(ideal, axis=1)  # [K, n_slices] dec order
+            return y_lev, rgb, buf, cursors, enc_states, ideal_bits
 
         # ---- front end (encode): one program per image shape -------------
         # input is uint8 (1 B/subpixel on the host link); int cast on device
@@ -605,6 +628,10 @@ class Codec:
         # flags), cached so steady-state encode/decode dispatches no
         # buffer-creation ops
         self._const_cache: Dict = {}
+        # speculative encode-finalize prefix: last stream word count per
+        # worst-case cap, so the payload fetch can ride the same sync as
+        # the cursors (one host round-trip instead of two)
+        self._spec_words: Dict[int, int] = {}
 
     def _const(self, kind, shape=(), fill=0):
         key = (kind, shape, fill)
@@ -764,42 +791,75 @@ class Codec:
         dummy_words = self._const("zeros_u16", (K, cap))
         dummy_states = self._const("full_u32", (K, self.N), rd.RANS_L)
         zero = self._const("i32", fill=0)
-        _y, _rgb, buf, cursors, states = self._image_fn(
+        _y, _rgb, buf, cursors, states, ideal = self._image_fn(
             self.params, x00_raw, tuple(y_list), dummy_words, dummy_states,
             zero, self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
             self.N)
         slice_meta = [(scl, b, clr) for scl in range(S - 1, -1, -1)
                       for b in range(3) for clr in range(3)]
-        return slice_meta, cursors, states, buf
+        return slice_meta, cursors, states, buf, ideal
+
+    def _slice_bits_table(self, slice_meta, cursors_row) -> List[List[int]]:
+        """Per-slice word-count cursors (encode order) -> a
+        [scale][b*3+clr] bits table in decode order (one image)."""
+        S = self.cfg.num_scales
+        counts = np.diff(np.concatenate([[0], cursors_row])).astype(int)
+        counts_decode_order = list(reversed([int(c) for c in counts]))
+        bits: Dict[Tuple[int, int, int], int] = {}
+        for (scl, b, clr), c in zip(slice_meta, counts_decode_order):
+            bits[(scl, b, clr)] = c * 16
+        return [
+            [bits[(scl, b, clr)] for b in range(3) for clr in range(3)]
+            for scl in range(S - 1, -1, -1)
+        ]
 
     def _encode_finalize(self, streams, slice_meta, cursors_np, states_np,
                          packed_np):
         """Single-image (K=1) finalize: cursors_np [1,45] etc."""
-        S = self.cfg.num_scales
         cursors_np = np.asarray(cursors_np)[0]
         total = int(cursors_np[-1])
         blob = rd.pack_stream_packed(np.asarray(packed_np)[0][:total],
                                      np.asarray(states_np)[0])
         streams.append([blob])
-        # per-slice word counts (encode order cursors -> decode order bits)
-        counts = np.diff(np.concatenate([[0], cursors_np])).astype(int)
-        counts_decode_order = list(reversed([int(c) for c in counts]))
-        bits: Dict[Tuple[int, int, int], int] = {}
-        for (scl, b, clr), c in zip(slice_meta, counts_decode_order):
-            bits[(scl, b, clr)] = c * 16
-        self.last_slice_bits = [
-            [bits[(scl, b, clr)] for b in range(3) for clr in range(3)]
-            for scl in range(S - 1, -1, -1)
-        ]
+        self.last_slice_bits = self._slice_bits_table(slice_meta, cursors_np)
         return streams
 
+    def _ideal_bits_table(self, ideal_row) -> List[List[float]]:
+        """[n_slices] decode-order ideal bits -> [scale][b*3+clr] table
+        (row 0 = coarsest scale, matching last_slice_bits)."""
+        S = self.cfg.num_scales
+        vals = [float(v) for v in ideal_row]
+        return [
+            [vals[s * 9 + b * 3 + clr] for b in range(3) for clr in range(3)]
+            for s in range(S)]
+
     def _compress_device(self, streams, y_list, x00_raw, minmax, pad_flags):
-        slice_meta, cursors, states, buf = self._encode_dispatch(
+        slice_meta, cursors, states, buf, ideal = self._encode_dispatch(
             y_list, x00_raw, minmax, pad_flags)
-        cursors_np, states_np = jax.device_get((cursors, states))
-        total = int(cursors_np[0, -1])
-        bucket = min(buf.shape[1], -(-max(1, total) // 65536) * 65536)
-        packed = np.asarray(jax.device_get(buf[:, :bucket]))
+        # speculative one-sync finalize: fetch a payload prefix sized by
+        # the last image of this shape family together with the cursors;
+        # top up only on under-guess (rare: +12.5% headroom)
+        cap = buf.shape[1]
+        guess = self._spec_words.get(cap, 0)
+        if guess:
+            bucket_g = min(cap, -(-guess // 65536) * 65536)
+            cursors_np, states_np, ideal_np, packed = jax.device_get(
+                (cursors, states, ideal, buf[:, :bucket_g]))
+            total = int(cursors_np[0, -1])
+            if total > packed.shape[1]:
+                bucket = min(cap, -(-total // 65536) * 65536)
+                rest = np.asarray(jax.device_get(
+                    buf[:, packed.shape[1]:bucket]))
+                packed = np.concatenate([np.asarray(packed), rest], axis=1)
+        else:
+            cursors_np, states_np, ideal_np = jax.device_get(
+                (cursors, states, ideal))
+            total = int(cursors_np[0, -1])
+            bucket = min(cap, -(-max(1, total) // 65536) * 65536)
+            packed = np.asarray(jax.device_get(buf[:, :bucket]))
+        self._spec_words[cap] = total + total // 8
+        self.last_ideal_bits = self._ideal_bits_table(
+            np.asarray(ideal_np)[0])
         return self._encode_finalize(streams, slice_meta, cursors_np,
                                      states_np, packed)
 
@@ -830,36 +890,54 @@ class Codec:
             streams = [self._header_group(S, last_h, last_w, orig_h, orig_w,
                                           minmax, pad_int,
                                           np.asarray(x00_np).tobytes())]
-            meta, cursors, states, buf = self._encode_dispatch(
+            meta, cursors, states, buf, ideal = self._encode_dispatch(
                 y_list, x00_raw, minmax, pad_flags)
-            stage2.append((streams, meta, cursors, states, buf))
-        got = jax.device_get([(s[2], s[3]) for s in stage2])
-        bufs = []
-        for (streams, meta, _c, _s, buf), (cursors_np, _states) in zip(
-                stage2, got):
-            total = int(np.asarray(cursors_np)[0, -1])
-            bucket = min(buf.shape[1], -(-max(1, total) // 65536) * 65536)
-            bufs.append(buf[:, :bucket])
-        packed_all = jax.device_get(bufs)
+            stage2.append((streams, meta, cursors, states, buf, ideal))
+        # one-sync finalize: cursors + states + ideal + a speculative
+        # payload prefix for every image in a single device_get; only
+        # under-guessed images pay a second fetch
+        reqs = []
+        for (_st, _m, cursors, states, buf, ideal) in stage2:
+            cap = buf.shape[1]
+            guess = self._spec_words.get(cap, 0)
+            bucket_g = min(cap, -(-max(guess, 65536) // 65536) * 65536)
+            reqs.append((cursors, states, ideal, buf[:, :bucket_g]))
+        got = jax.device_get(reqs)
         out = []
-        for (streams, meta, _c, _s, _b), (cursors_np, states_np), packed in (
-                zip(stage2, got, packed_all)):
+        for (streams, meta, _c, _s, buf, _i), (
+                cursors_np, states_np, ideal_np, packed) in zip(stage2, got):
+            total = int(np.asarray(cursors_np)[0, -1])
+            cap = buf.shape[1]
+            if total > packed.shape[1]:
+                bucket = min(cap, -(-total // 65536) * 65536)
+                rest = np.asarray(jax.device_get(
+                    buf[:, packed.shape[1]:bucket]))
+                packed = np.concatenate([np.asarray(packed), rest], axis=1)
+            self._spec_words[cap] = total + total // 8
             out.append(self._encode_finalize(streams, meta, cursors_np,
                                              states_np, packed))
+            self.last_ideal_bits = self._ideal_bits_table(
+                np.asarray(ideal_np)[0])
         return out
 
-    def _decompress_device(self, streams, S, minmax, pad_flags, raw):
-        ranges = self._ranges(minmax)
+    def _decode_host_prep(self, streams, S, minmax, pad_flags, raw):
+        """Host-only stage of a device-backend decode: stream unpack +
+        pad to the upload bucket.  No device traffic."""
         blob = streams[1][0]
         states_np, words_np = rd.unpack_stream(blob, self.N)
-        states = jnp.asarray(states_np[None], jnp.uint32)
         # upload the (small, bucketed) stream as uint16, then pad on device
         # to the shape-derived worst-case buffer so decode program shapes
         # never depend on the compressed size
         up = -(-max(1, words_np.size) // 16384) * 16384
-        w_small = jnp.asarray(
-            np.pad(words_np.astype(np.uint16),
-                   (0, up - words_np.size))[None])
+        w_pad = np.pad(words_np.astype(np.uint16),
+                       (0, up - words_np.size))[None]
+        return dict(S=S, minmax=minmax, pad_flags=pad_flags, raw=raw,
+                    states=states_np[None], w_pad=w_pad)
+
+    def _decode_launch(self, p, w_small, states, raw_dev):
+        """Dispatch the fused decode program on uploaded buffers."""
+        S, pad_flags, raw = p["S"], p["pad_flags"], p["raw"]
+        ranges = self._ranges(p["minmax"])
         cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
         words = self._pad_words(w_small, cap)
         one = self._const("i32", fill=1)
@@ -870,13 +948,19 @@ class Codec:
         y_direct = tuple(
             self._const("zeros_f32", (1,) + shapes[scl] + (c4,))
             for scl in range(S))
-        y_lev, rgb, _buf, _curs, _est = self._image_fn(
-            self.params, jnp.asarray(raw), y_direct, words, states, one,
+        y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
+            self.params, raw_dev, y_direct, words, states, one,
             self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
             self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
         return rgb
+
+    def _decompress_device(self, streams, S, minmax, pad_flags, raw):
+        p = self._decode_host_prep(streams, S, minmax, pad_flags, raw)
+        return self._decode_launch(
+            p, jnp.asarray(p["w_pad"]),
+            jnp.asarray(p["states"], jnp.uint32), jnp.asarray(raw))
 
     # ---- host backend --------------------------------------------------
     def _compress_host(self, streams, y_list, minmax, pad_flags):
@@ -943,17 +1027,8 @@ class Codec:
         read-backs of different images overlap (pipelined serving path).
         Host-backend streams fall back to the synchronous path.
         """
-        cfg = self.cfg
-        hdr = streams[0][0]
-        S = int(np.frombuffer(hdr[:1], np.uint8)[0])
-        assert S == cfg.num_scales
-        last_h, last_w = (int(v) for v in np.frombuffer(hdr[1:5], np.uint16))
-        orig_h, orig_w = (int(v) for v in np.frombuffer(hdr[5:13], np.uint32))
-        minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
-        pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
-        pad_flags = unpack_pad_flags(pad_int, S)
-        raw = np.frombuffer(streams[0][3], np.uint8).reshape(
-            1, last_h, last_w, 3)
+        S, minmax, pad_flags, raw, orig_h, orig_w = self._parse_container(
+            streams)
         if len(streams) == 2 and len(streams[1]) == 1:
             out = self._decompress_device(streams, S, minmax, pad_flags, raw)
         else:
@@ -985,12 +1060,110 @@ class Codec:
                 y_lev, jnp.asarray(xpad.astype(np.uint8)), crop_h, crop_w))
         return out[:, :orig_h, :orig_w, :]
 
+    def _parse_container(self, streams):
+        """Header parse shared by the single and pipelined decode paths."""
+        hdr = streams[0][0]
+        S = int(np.frombuffer(hdr[:1], np.uint8)[0])
+        assert S == self.cfg.num_scales
+        last_h, last_w = (int(v) for v in np.frombuffer(hdr[1:5], np.uint16))
+        orig_h, orig_w = (int(v) for v in np.frombuffer(hdr[5:13], np.uint32))
+        minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
+        pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
+        pad_flags = unpack_pad_flags(pad_int, S)
+        raw = np.frombuffer(streams[0][3], np.uint8).reshape(
+            1, last_h, last_w, 3)
+        return S, minmax, pad_flags, raw, orig_h, orig_w
+
     def decompress_many(self, streams_list) -> List[np.ndarray]:
-        """Pipelined decode of several images: enqueue all, sync once."""
-        outs = [self.decompress_dispatch(s) for s in streams_list]
-        fetched = jax.device_get([o[0] for o in outs])
-        return [np.asarray(f)[:, :oh, :ow, :]
-                for f, (_d, oh, ow) in zip(fetched, outs)]
+        """Pipelined decode of several images: all host unpacks first,
+        then all uploads in one device_put, then all dispatches, one
+        sync — transfers of image i+1 overlap device compute of image i
+        without any host-stage interleaving stalls."""
+        if any(not (len(s) == 2 and len(s[1]) == 1) for s in streams_list):
+            # host-backend containers: synchronous fallback
+            outs = [self.decompress_dispatch(s) for s in streams_list]
+            fetched = jax.device_get([o[0] for o in outs])
+            return [np.asarray(f)[:, :oh, :ow, :]
+                    for f, (_d, oh, ow) in zip(fetched, outs)]
+        preps = []
+        for streams in streams_list:
+            S, minmax, pad_flags, raw, oh, ow = self._parse_container(streams)
+            p = self._decode_host_prep(streams, S, minmax, pad_flags, raw)
+            p["orig"] = (oh, ow)
+            preps.append(p)
+        uploads = jax.device_put([
+            (p["w_pad"], p["states"].astype(np.uint32), p["raw"])
+            for p in preps])
+        outs = []
+        for p, (w_small, states, raw_dev) in zip(preps, uploads):
+            outs.append(self._decode_launch(p, w_small, states, raw_dev))
+        fetched = jax.device_get(outs)
+        return [np.asarray(f)[:, :p["orig"][0], :p["orig"][1], :]
+                for f, p in zip(fetched, preps)]
+
+    # ---- resident (serving steady-state) paths -------------------------
+    # In production the bitstream arrives in host RAM over a real NIC and
+    # host<->HBM runs at PCIe rates; on this dev harness the TPU sits
+    # behind a tunnel with multi-minute 7-180 MB/s bandwidth phases, so
+    # e2e numbers measure the tunnel as much as the chip.  These helpers
+    # stage one container's inputs in HBM once and return zero-upload
+    # dispatch closures — the sustained per-dispatch time is the chip's
+    # decode/encode throughput (dispatch RPC overhead included, transfers
+    # excluded), which is what a serving deployment sees.
+
+    def prepare_decode(self, streams):
+        """Stage a container in HBM; returns fn() -> device rgb handle.
+
+        Everything shape-derived (worst-case stream pad, sampling grids,
+        scale shapes) is hoisted out of the closure, so each call is ONE
+        program dispatch on resident buffers."""
+        S, minmax, pad_flags, raw, _oh, _ow = self._parse_container(streams)
+        p = self._decode_host_prep(streams, S, minmax, pad_flags, raw)
+        w_small, states, raw_dev = jax.block_until_ready(jax.device_put(
+            (p["w_pad"], p["states"].astype(np.uint32), p["raw"])))
+        ranges = self._ranges(minmax)
+        cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
+        words = jax.block_until_ready(self._pad_words(w_small, cap))
+        one = self._const("i32", fill=1)
+        c4 = 4 * self.cfg.cond_channels
+        shapes = dict((scl, (h, w)) for scl, h, w in
+                      self._scale_shapes(S, raw.shape[1], raw.shape[2],
+                                         pad_flags))
+        y_direct = tuple(
+            self._const("zeros_f32", (1,) + shapes[scl] + (c4,))
+            for scl in range(S))
+        pts3 = self._pts3(ranges)
+        pf_t = self._pad_flags_t(pad_flags)
+
+        def dispatch():
+            _y, rgb, _b, _c, _s, _i = self._image_fn(
+                self.params, raw_dev, y_direct, words, states, one,
+                pts3, pf_t, ranges, self.N)
+            return rgb
+
+        return dispatch
+
+    def prepare_encode(self, rgb: np.ndarray):
+        """Stage an image in HBM; returns fn() -> (cursors, states, buf,
+        ideal) device handles (host finalize excluded — the payload stays
+        in HBM, as when a downstream device consumer or collective takes
+        it)."""
+        cfg = self.cfg
+        rgb, _oh, _ow = self._prepare(rgb)
+        H, W = rgb.shape[1], rgb.shape[2]
+        pad_flags, _pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
+        rgb_dev = jax.device_put(rgb.astype(np.uint8))
+        y_list, mm, x00_raw = self._front(rgb_dev, cfg.dwtlevels)
+        mm_np = np.asarray(jax.device_get(mm))
+        minmax = [int(mm_np[0, i]) for i in (0, 2, 4, 1, 3, 5)]
+
+        def dispatch():
+            y_list, _mm, x00_raw = self._front(rgb_dev, cfg.dwtlevels)
+            _meta, cursors, states, buf, ideal = self._encode_dispatch(
+                y_list, x00_raw, minmax, pad_flags)
+            return cursors, states, buf, ideal
+
+        return dispatch
 
     # ---- batch container (K images, ONE fused program) -----------------
     # A batch is a first-class coding unit: the K same-shape images are
@@ -1031,9 +1204,18 @@ class Codec:
             hdr, np.array(minmax, np.int16).tobytes(),
             np.array([pad_int], np.int16).tobytes(),
             np.asarray(x00_np).tobytes(), b"", b"", b"", b"", b""]]
-        _meta, cursors, states, buf = self._encode_dispatch(
+        meta, cursors, states, buf, ideal = self._encode_dispatch(
             y_list, x00_raw, minmax, pad_flags)
-        cursors_np, states_np = jax.device_get((cursors, states))
+        cursors_np, states_np, ideal_np = jax.device_get(
+            (cursors, states, ideal))
+        self.last_ideal_bits_batch = [
+            self._ideal_bits_table(np.asarray(ideal_np)[k])
+            for k in range(K)]
+        self.last_ideal_bits = [
+            [sum(t[s][i] for t in self.last_ideal_bits_batch)
+             for i in range(9)]
+            for s in range(len(self.last_ideal_bits_batch[0]))
+        ]
         total_max = int(np.asarray(cursors_np)[:, -1].max())
         bucket = min(buf.shape[1], -(-max(1, total_max) // 65536) * 65536)
         packed = np.asarray(jax.device_get(buf[:, :bucket]))
@@ -1041,7 +1223,16 @@ class Codec:
             blob = rd.pack_stream_packed(
                 packed[k][: int(cursors_np[k, -1])], states_np[k])
             streams.append([blob])
-        self.last_slice_bits = None  # per-batch accounting not kept
+        # per-image slice accounting (cursors are per-image already);
+        # last_slice_bits = the K tables summed elementwise, so the
+        # est/act cross-check works on batch containers too
+        per_img = [self._slice_bits_table(meta, np.asarray(cursors_np)[k])
+                   for k in range(K)]
+        self.last_slice_bits_batch = per_img
+        self.last_slice_bits = [
+            [sum(t[s][i] for t in per_img) for i in range(9)]
+            for s in range(len(per_img[0]))
+        ]
         return streams
 
     def decompress_batch(self, streams: List[List[bytes]]
@@ -1075,7 +1266,7 @@ class Codec:
         y_direct = tuple(
             self._const("zeros_f32", (K,) + shapes[scl] + (c4,))
             for scl in range(S))
-        y_lev, rgb, _buf, _curs, _est = self._image_fn(
+        y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
             self.params, jnp.asarray(raw), y_direct, words, states, one,
             self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
             self.N)

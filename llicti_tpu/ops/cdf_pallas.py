@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gmm import SCALE_BOUND_NORMAL, WEIGHT_BOUND
+from .gmm import SCALE_BOUND_LOGISTIC, SCALE_BOUND_NORMAL, WEIGHT_BOUND
 
 _SQRT2_INV = np.float32(2 ** -0.5)
 # Abramowitz-Stegun 7.1.26 erf coefficients

@@ -224,6 +224,26 @@ def test_batch_container_odd_sizes_and_ragged_origs():
         np.testing.assert_array_equal(out, img)
 
 
+def test_batch_container_slice_bits_accounting():
+    """compress_batch keeps per-image AND summed slice-bit tables: the
+    per-image word counts must equal each per-image blob's payload, and
+    the summed table is what the est/act cross-check consumes."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(32, 40, seed=s) for s in (3, 5)]
+    streams = codec.compress_batch(imgs)
+    assert codec.last_slice_bits is not None
+    assert len(codec.last_slice_bits_batch) == 2
+    from llicti_tpu.coder import rans_device as rd
+    for k, table in enumerate(codec.last_slice_bits_batch):
+        bits = sum(sum(row) for row in table)
+        states_np, words_np = rd.unpack_stream(streams[1 + k][0], codec.N)
+        assert bits == words_np.size * 16
+    total = sum(sum(row) for row in codec.last_slice_bits)
+    assert total == sum(sum(sum(r) for r in t)
+                        for t in codec.last_slice_bits_batch)
+
+
 def test_batch_matches_single_rate_ballpark():
     """Union ranges cost a little rate vs per-image dynamic ranges, but
     the batch must stay within a few percent for similar images."""

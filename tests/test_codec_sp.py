@@ -98,6 +98,24 @@ def test_sharded_roundtrip_clrjnt0_seqmd():
     assert np.array_equal(out[0], img)
 
 
+def test_sharded_roundtrip_flagship_five_scales():
+    """The FLAGSHIP 5-scale schedule through the sharded codec (tiny
+    channels): scale count changes the program-chain length and the
+    interleave/crop bookkeeping — exactly where multi-scale bugs live
+    (VERDICT r3 weak #6).  Decode must be exactly 5 dispatches."""
+    cfg = ModelConfig(chs=(8, 1, 1, 1, 1))
+    assert cfg.num_scales == 5
+    codec = make_sharded(cfg, 4, num_lanes=8)
+    img = natural_image(160, 64, seed=19)
+    streams = codec.compress(img)
+    codec.dispatch_counts = {"decode": 0, "encode": 0}
+    out = codec.decompress(streams, xorg=img)
+    assert np.array_equal(out[0], img)
+    assert codec.dispatch_counts["decode"] == 5
+    assert codec.last_ycocg_err == 0
+    assert len(streams[1]) == 4
+
+
 def test_sharded_slice_bits_account_for_stream():
     """Per-slice bit accounting sums to the payload words (eval rate
     tables keep their scale x band x color breakdown on meshes)."""

@@ -49,12 +49,15 @@ def test_dense_groups_match_grouped(kw):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("logistic", [False, True])
 @pytest.mark.parametrize("mode", [0, 1, 2])
-def test_pmap_cdf_spec_matches_slice_params(mode):
+def test_pmap_cdf_spec_matches_slice_params(mode, logistic):
     """The in-kernel column spec reproduces gmm_slice_params + the
     XLA CDF table (within the A&S-vs-erfc approximation, < 2 of the
-    2^16 quantization steps)."""
-    cfg = small_cfg(clr_joint_mode=mode)
+    2^16 quantization steps), for both normal and logistic mixtures
+    (the logistic leg guards the SCALE_BOUND_LOGISTIC kernel import)."""
+    cfg = small_cfg(clr_joint_mode=mode,
+                    distribution="logistic" if logistic else "normal")
     model = LLICTIModel(cfg=cfg)
     c = cfg.cond_channels
     y = jax.random.uniform(jax.random.PRNGKey(2), (1, 8, 8, 4 * c),
@@ -66,12 +69,13 @@ def test_pmap_cdf_spec_matches_slice_params(mode):
                            method=LLICTIModel.band_params)
         for clr in range(3):
             s, m, w = gmm_slice_params(cfg, pmap, y, b, clr)
-            ref = rd.cdf_float_to_cum_int32(gmm_cdf_table(pts, s, m, w))
+            ref = rd.cdf_float_to_cum_int32(
+                gmm_cdf_table(pts, s, m, w, logistic=logistic))
             M, s0, m0, w0, upd = pmap_cdf_spec(cfg, b, clr)
             from llicti_tpu.codec import sym_channel
             ch = sym_channel(cfg, b, clr)
             got, kst, kfr = gmm_cdf_from_pmap_pallas(
-                pts, pmap, y, M, s0, m0, w0, upd, False, ch, -63)
+                pts, pmap, y, M, s0, m0, w0, upd, logistic, ch, -63)
             diff = np.abs(np.asarray(ref, np.int64)
                           - np.asarray(got, np.int64)).max()
             assert diff <= 2, (b, clr, diff)
@@ -104,11 +108,25 @@ def test_dynamic_y_range_header_roundtrip():
     assert hi - lo < 255  # restricted vs the fixed [-127, 128]
 
 
-def test_roundtrip_with_pallas_cdf_interpret():
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(distribution="logistic"),
+    dict(clr_joint_mode=1),
+    dict(clr_joint_mode=1, distribution="logistic"),
+    dict(clr_joint_mode=0),
+    dict(clr_joint_mode=0, distribution="logistic"),
+    dict(clr_joint_mode=0, clrjnt0seqmd=True),
+    dict(clr_joint_mode=0, clrjnt0seqmd=True, distribution="logistic"),
+])
+def test_roundtrip_with_pallas_cdf_interpret(kw):
     """Full codec round-trip through the Pallas CDF path (interpret mode
-    on CPU): in-kernel (start,freq) must feed the encode chain exactly."""
-    cfg = small_cfg()
-    from test_codec_roundtrip import make_codec, natural_image
+    on CPU) over the coded variant matrix {clrjnt 0/1/2, seqmd} x
+    {normal, logistic}: in-kernel (start,freq) must feed the encode
+    chain exactly.  The logistic legs are the TPU eval path that every
+    tool enables (use_pallas_cdf=on_tpu) — regression for the
+    SCALE_BOUND_LOGISTIC NameError."""
+    cfg = small_cfg(**kw)
+    from test_codec_roundtrip import natural_image
 
     model = LLICTIModel(cfg=cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))

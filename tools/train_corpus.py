@@ -169,6 +169,16 @@ def main() -> None:
             "checkpoint", state)
         sched.load_state_dict(meta.get("scheduler", sched.state_dict()))
         best_val = meta.get("best_valid_loss", best_val)
+        # The mirror can lag the bench export (it used to be written only
+        # on exit).  Never let a stale mirror best_val cause a first
+        # validation to overwrite an already-better committed bench_ckpt.
+        if args.bench_out and CheckpointManager(args.bench_out).exists(
+                "bench"):
+            _, bmeta = CheckpointManager(args.bench_out).load(
+                "bench", state.params)
+            bbest = bmeta.get("final_rate")
+            if bbest is not None:
+                best_val = min(best_val, float(bbest))
         state = set_learning_rate(state, sched.lr)
         print(f"resumed from mirror {args.state_mirror} at step "
               f"{int(state.step)} (best_val {best_val:.4f}, "
@@ -249,6 +259,16 @@ def main() -> None:
                         "bench", state.params,
                         {"steps": s, "final_rate": vl,
                          "corpus": "data_corpus", "valid_bpsp": vl / 3})
+                if args.state_mirror:
+                    # keep the committed mirror in lockstep with the bench
+                    # export: it must never lag behind what bench_ckpt
+                    # holds (ADVICE r3: stale-mirror regression hazard)
+                    CheckpointManager(args.state_mirror).save(
+                        "checkpoint", state, {
+                            "scheduler": sched.state_dict(),
+                            "best_valid_loss": best_val,
+                            "step": s,
+                        })
     if metrics is not None:
         save(state)
         if args.state_mirror:

@@ -130,7 +130,7 @@ def main() -> None:
     pf_t = codec._pad_flags_t(pad_flags)
 
     def device_decode():
-        _y, rgb, _b, _c, _s = codec._image_fn(
+        _y, rgb, _b, _c, _s, _i = codec._image_fn(
             codec.params, raw_dev, y_direct, words_dev, states0, one,
             codec._pts3(ranges), pf_t, ranges, codec.N)
         return rgb
