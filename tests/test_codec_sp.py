@@ -50,8 +50,11 @@ def test_sharded_roundtrip_odd_size():
 
 
 def test_sharded_rate_close_to_single_chip():
-    """Per-shard streams cost a little extra (state flushes, seam pads);
-    total size should stay within ~20% of the single-chip codec."""
+    """Per-shard streams cost only the extra lane-state flushes plus a
+    small seam/word-rounding term.  Measured at 512x768 with the trained
+    flagship: +0.035% for G in {2,4,8} (docs/SHARDED_OVERHEAD.json);
+    this toy-size bound is the same decomposition: (G-1) extra state
+    flushes + 2% + word rounding."""
     from llicti_tpu.codec import Codec
 
     cfg = small_cfg()
@@ -60,12 +63,15 @@ def test_sharded_rate_close_to_single_chip():
     params = model.init(jax.random.PRNGKey(0), x)
     img = natural_image(64, 64, seed=7)
 
-    single = Codec(cfg, params, num_lanes=16)
-    sharded = ShardedCodec(cfg, params, mesh=make_sp_mesh(shards=4),
-                           num_lanes=16)
+    G, N = 4, 16
+    single = Codec(cfg, params, num_lanes=N)
+    sharded = ShardedCodec(cfg, params, mesh=make_sp_mesh(shards=G),
+                           num_lanes=N)
     nb_single = Codec.num_bytes(single.compress(img))
     nb_sharded = ShardedCodec.num_bytes(sharded.compress(img))
-    assert nb_sharded < nb_single * 1.2 + 200
+    extra_flush = (G - 1) * N * 4
+    assert nb_sharded <= nb_single + extra_flush + 0.02 * nb_single + 128, (
+        nb_single, nb_sharded)
 
 
 @pytest.mark.parametrize("mode", [0, 1])

@@ -22,9 +22,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # sitecustomize pre-imports jax and pins the axon TPU platform; env
+    # overrides are too late — jax.config still works before first use
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
 
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/llicti_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
