@@ -121,15 +121,18 @@ def main() -> None:
         dev_enc_t = min(dev_enc_t, (time.time() - t0) / M)
 
     # ---- end-to-end family (through the tunnel) -----------------------
-    n_rep = 3
-    t0 = time.time()
-    for _ in range(n_rep):
+    # single-image latency: best of spaced attempts (each is one full
+    # upload + program + download; spacing samples bandwidth phases)
+    enc_t = dec_t = float("inf")
+    for i in range(4):
+        t0 = time.time()
         streams = codec.compress(img)
-    enc_t = (time.time() - t0) / n_rep
-    t0 = time.time()
-    for _ in range(n_rep):
+        enc_t = min(enc_t, time.time() - t0)
+        t0 = time.time()
         out = codec.decompress(streams)
-    dec_t = (time.time() - t0) / n_rep
+        dec_t = min(dec_t, time.time() - t0)
+        if i < 3:
+            time.sleep(1.5)
     # pipelined: enqueue several full decodes (each re-uploads its stream
     # and recomputes everything), sync once.  best-of-N with short gaps:
     # the tunnel's bandwidth has multi-minute phases (7-180 MB/s

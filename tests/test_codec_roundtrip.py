@@ -224,6 +224,31 @@ def test_batch_container_odd_sizes_and_ragged_origs():
         np.testing.assert_array_equal(out, img)
 
 
+def test_resident_paths_match_wire_paths():
+    """prepare_decode/prepare_encode (the serving steady-state closures
+    bench.py times) must reproduce the wire paths exactly: the resident
+    decode yields the decompress() image, the resident encode's buffer +
+    cursors repack into the compress() blob byte-for-byte."""
+    import jax
+
+    from llicti_tpu.coder import rans_device as rd
+
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    img = natural_image(33, 37, seed=8)  # odd size: pad/crop path too
+    streams = codec.compress(img)
+    ref = codec.decompress(streams)
+    dec_fn = codec.prepare_decode(streams)
+    rgb = np.asarray(jax.device_get(dec_fn()))
+    np.testing.assert_array_equal(rgb[:, :33, :37], ref)
+    np.testing.assert_array_equal(rgb[0, :33, :37], img)
+    enc_fn = codec.prepare_encode(img)
+    cursors, states, buf, _ideal = (np.asarray(jax.device_get(h))
+                                    for h in enc_fn())
+    blob = rd.pack_stream_packed(buf[0][: int(cursors[0, -1])], states[0])
+    assert blob == streams[1][0]
+
+
 def test_batch_container_slice_bits_accounting():
     """compress_batch keeps per-image AND summed slice-bit tables: the
     per-image word counts must equal each per-image blob's payload, and
