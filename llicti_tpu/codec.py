@@ -1235,9 +1235,8 @@ class Codec:
         ]
         return streams
 
-    def decompress_batch(self, streams: List[List[bytes]]
-                         ) -> List[np.ndarray]:
-        """Decode a batch container -> list of K [H, W, 3] uint8 images."""
+    def _batch_stage(self, streams):
+        """Parse + host-unpack a batch container; upload its buffers."""
         cfg = self.cfg
         hdr = streams[0][0]
         marker, K, S = (int(v) for v in np.frombuffer(hdr[:3], np.uint8))
@@ -1249,32 +1248,62 @@ class Codec:
         pad_flags = unpack_pad_flags(pad_int, S)
         raw = np.frombuffer(streams[0][3], np.uint8).reshape(
             K, last_h, last_w, 3)
-        ranges = self._ranges(minmax)
         sts, wds = zip(*(rd.unpack_stream(streams[1 + k][0], self.N)
                          for k in range(K)))
-        states = jnp.asarray(np.stack(sts), jnp.uint32)
         max_w = max(max(w.size for w in wds), 1)
         up = -(-max_w // 16384) * 16384
-        w_small = jnp.asarray(np.stack(
-            [np.pad(w.astype(np.uint16), (0, up - w.size)) for w in wds]))
-        cap = self._words_cap(S, last_h, last_w, pad_flags)
+        w_np = np.stack(
+            [np.pad(w.astype(np.uint16), (0, up - w.size)) for w in wds])
+        w_small, states, raw_dev = jax.device_put(
+            (w_np, np.stack(sts).astype(np.uint32), raw))
+        return dict(K=K, S=S, last_h=last_h, last_w=last_w, origs=origs,
+                    minmax=minmax, pad_flags=pad_flags), \
+            w_small, states, raw_dev
+
+    def _batch_launch(self, m, w_small, states, raw_dev):
+        cfg = self.cfg
+        K, S = m["K"], m["S"]
+        pad_flags = m["pad_flags"]
+        ranges = self._ranges(m["minmax"])
+        cap = self._words_cap(S, m["last_h"], m["last_w"], pad_flags)
         words = self._pad_words(w_small, cap)
         one = self._const("i32", fill=1)
         c4 = 4 * cfg.cond_channels
         shapes = dict((scl, (h, w)) for scl, h, w in
-                      self._scale_shapes(S, last_h, last_w, pad_flags))
+                      self._scale_shapes(S, m["last_h"], m["last_w"],
+                                         pad_flags))
         y_direct = tuple(
             self._const("zeros_f32", (K,) + shapes[scl] + (c4,))
             for scl in range(S))
         y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
-            self.params, jnp.asarray(raw), y_direct, words, states, one,
+            self.params, raw_dev, y_direct, words, states, one,
             self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
             self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
+        return rgb
+
+    def decompress_batch(self, streams: List[List[bytes]]
+                         ) -> List[np.ndarray]:
+        """Decode a batch container -> list of K [H, W, 3] uint8 images."""
+        m, w_small, states, raw_dev = self._batch_stage(streams)
+        rgb = self._batch_launch(m, w_small, states, raw_dev)
         out = np.asarray(jax.device_get(rgb))
+        origs = m["origs"]
         return [out[k, : int(origs[k, 0]), : int(origs[k, 1])]
-                for k in range(K)]
+                for k in range(m["K"])]
+
+    def prepare_decode_batch(self, streams):
+        """Stage a batch container in HBM; returns fn() -> device rgb
+        handle [K, H, W, 3] (resident serving path, like
+        :meth:`prepare_decode` but for the K-batched executable)."""
+        m, w_small, states, raw_dev = self._batch_stage(streams)
+        jax.block_until_ready(raw_dev)
+
+        def dispatch():
+            return self._batch_launch(m, w_small, states, raw_dev)
+
+        return dispatch
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -247,6 +247,15 @@ def test_resident_paths_match_wire_paths():
                                     for h in enc_fn())
     blob = rd.pack_stream_packed(buf[0][: int(cursors[0, -1])], states[0])
     assert blob == streams[1][0]
+    # batched resident decode matches decompress_batch
+    imgs = [natural_image(32, 40, seed=s) for s in (1, 2)]
+    bstreams = codec.compress_batch(imgs)
+    ref_outs = codec.decompress_batch(bstreams)
+    bfn = codec.prepare_decode_batch(bstreams)
+    brgb = np.asarray(jax.device_get(bfn()))
+    for k, (im, r) in enumerate(zip(imgs, ref_outs)):
+        np.testing.assert_array_equal(brgb[k, :32, :40], r)
+        np.testing.assert_array_equal(brgb[k, :32, :40], im)
 
 
 def test_batch_container_slice_bits_accounting():
