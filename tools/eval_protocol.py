@@ -239,7 +239,8 @@ def main(out_dir: str) -> None:
     # 512-crop variants of the test images (reference bench-size crops)
     run_split("test", crop=512, label="test_crop512")
 
-    test_logger.display(typ="te", epoch=0)
+    if test_logger.rates:  # a crashed/skipped-only run has no table rows
+        test_logger.display(typ="te", epoch=0)
     summary = flush()
     logger.info("summary: %s", json.dumps(
         {k: v for k, v in summary.items() if k != "per_image"}))
