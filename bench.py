@@ -135,8 +135,17 @@ def main() -> None:
 
     # ---- end-to-end family (through the tunnel) -----------------------
     # single-image latency: best of spaced attempts (each is one full
-    # upload + program + download; spacing samples bandwidth phases)
-    enc_t = dec_t = float("inf")
+    # upload + program + download; spacing samples bandwidth phases).
+    # The two-stage codec splits the decode at the finest scale: the
+    # coarse scales dispatch on the stream PREFIX while the bulk of the
+    # stream uploads (partial-stream decode) — measured alongside the
+    # fused path in the same phase band; the headline latency is the
+    # better of the two.
+    codec_ts = Codec(cfg, params, use_pallas_cdf=on_tpu,
+                     num_lanes=1024 if on_tpu else 512, two_stage=True)
+    streams_ts = codec_ts.compress(img)  # warm (compile head/tail)
+    ok = ok and bool(np.array_equal(codec_ts.decompress(streams_ts)[0], img))
+    enc_t = dec_t = dec_ts_t = float("inf")
     for i in range(4):
         t0 = time.time()
         streams = codec.compress(img)
@@ -144,8 +153,12 @@ def main() -> None:
         t0 = time.time()
         out = codec.decompress(streams)
         dec_t = min(dec_t, time.time() - t0)
+        t0 = time.time()
+        _ = codec_ts.decompress(streams_ts)
+        dec_ts_t = min(dec_ts_t, time.time() - t0)
         if i < 3:
             time.sleep(1.5)
+    dec_best_t = min(dec_t, dec_ts_t)
     # pipelined: enqueue several full decodes (each re-uploads its stream
     # and recomputes everything), sync once.  best-of-N with short gaps:
     # the tunnel's bandwidth has multi-minute phases (7-180 MB/s
@@ -166,8 +179,17 @@ def main() -> None:
         enc_pipe_t = min(enc_pipe_t, (time.time() - t0) / n_pipe)
         if i < 2:
             time.sleep(2.0)
-    act_bits = sum(sum(row) for row in codec.last_slice_bits)
-    ideal_bits = sum(sum(row) for row in codec.last_ideal_bits)
+    # per-image accounting: compress_many populates one table per
+    # pipelined image (codec.last_*_bits_batch); gate on image 0 (the
+    # single-image est below is for one image) and verify the coder
+    # closure holds for EVERY image of the pipelined call
+    act_bits = sum(sum(row) for row in codec.last_slice_bits_batch[0])
+    ideal_bits = sum(sum(row) for row in codec.last_ideal_bits_batch[0])
+    per_img_gaps = [
+        (sum(sum(r) for r in a) - sum(sum(r) for r in i))
+        / max(sum(sum(r) for r in i), 1) * 100
+        for a, i in zip(codec.last_slice_bits_batch,
+                        codec.last_ideal_bits_batch)]
     # batch-container mode (K images, ONE K-batched executable both ways)
     K = 4
     bstreams = codec.compress_batch([img] * K)  # warm
@@ -223,10 +245,13 @@ def main() -> None:
               f"(est {est_bits/img.size:.4f} vs act "
               f"{act_bits/img.size:.4f} bpsp)", file=sys.stderr)
         sys.exit(1)
-    if abs(coder_gap_pct) > 1.0:
-        print(f"FAIL: coder closure gap {coder_gap_pct:+.2f}% exceeds 1% "
-              f"(ideal {ideal_bits/img.size:.4f} vs act "
-              f"{act_bits/img.size:.4f} bpsp)", file=sys.stderr)
+    # coder closure is model-independent (stream vs its own quantized
+    # tables), so unlike the est/act gate above it runs unconditionally,
+    # trained or not — and over every image of the pipelined call
+    if any(abs(g) > 1.0 for g in [coder_gap_pct] + per_img_gaps):
+        print(f"FAIL: coder closure gap exceeds 1% "
+              f"(img0 {coder_gap_pct:+.2f}%, per-image "
+              f"{[round(g, 2) for g in per_img_gaps]})", file=sys.stderr)
         sys.exit(1)
 
     print(
@@ -240,7 +265,8 @@ def main() -> None:
         f"({enc_pipe_t*1000:.0f} ms/img) | "
         f"encode batched(K={K}) {mp/benc_t:.2f} MP/s "
         f"({benc_t*1000:.0f} ms/img) | "
-        f"decode latency {mp/dec_t:.2f} MP/s ({dec_t*1000:.0f} ms) | "
+        f"decode latency {mp/dec_best_t:.2f} MP/s ({dec_best_t*1000:.0f} ms; "
+        f"fused {dec_t*1000:.0f}, two-stage {dec_ts_t*1000:.0f}) | "
         f"decode pipelined {mp/pipe_t:.2f} MP/s ({pipe_t*1000:.0f} ms/img) | "
         f"decode batched(K={K}) {mp/bdec_t:.2f} MP/s "
         f"({bdec_t*1000:.0f} ms/img) || "
@@ -261,7 +287,9 @@ def main() -> None:
         "encode_device_ms": round(dev_enc_t * 1000, 1),
         "e2e_decode_pipelined_mps": round(mp / pipe_t, 3),
         "e2e_decode_vs_baseline": round(e2e_dec_mps / baseline_dec_mps, 2),
-        "e2e_decode_latency_ms": round(dec_t * 1000, 1),
+        "e2e_decode_latency_ms": round(dec_best_t * 1000, 1),
+        "e2e_decode_latency_fused_ms": round(dec_t * 1000, 1),
+        "e2e_decode_latency_two_stage_ms": round(dec_ts_t * 1000, 1),
         "e2e_encode_pipelined_mps": round(mp / enc_pipe_t, 3),
         "e2e_note": "e2e includes the dev harness TPU tunnel "
                     "(7-180 MB/s phases); production hosts ride PCIe",

@@ -42,7 +42,11 @@ from .coder import rans_device as rd
 from .config import ModelConfig
 from .models.llicti import LLICTIModel
 from .ops.cdf_pallas import gmm_cdf_from_pmap_pallas
-from .ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
+from .ops.color import (
+    rgb_int_to_ycocg_r_int,
+    rgb_int_to_ycocg_r_int_np,
+    ycocg_r_int_to_rgb_int,
+)
 from .ops.gmm import cdf_float_to_uint16, cdf_sampling_points, gmm_cdf_table
 from .ops.wavelet import (
     band_coded_shape,
@@ -214,7 +218,7 @@ class Codec:
     def __init__(self, cfg: ModelConfig, params, backend: str = "device",
                  num_lanes: int = 512, num_threads: int = 8,
                  use_pallas_cdf: bool = False,
-                 size_bucket: int = 0):
+                 size_bucket: int = 0, two_stage: bool = False):
         assert cfg.clrchs == 3 and cfg.clr_joint_mode in (0, 1, 2), (
             "codec path requires clrchs=3 (reference codes only clrjnt=2; "
             "clrjnt 0/1 + seqmd coding are extensions beyond the reference)")
@@ -241,6 +245,10 @@ class Codec:
             assert size_bucket % mult == 0, (
                 f"size_bucket must be a multiple of {mult}")
         self.size_bucket = size_bucket
+        if two_stage:
+            assert backend == "device" and cfg.num_scales >= 2, (
+                "two_stage splits the device program at the finest scale")
+        self.two_stage = two_stage
         self.compiled_shapes: set = set()
         self.cfg = cfg
         # dense block-diagonal execution of the grouped convs (same math,
@@ -419,30 +427,30 @@ class Codec:
         # this program) vs the reference's 90 host crossings: on a tunneled
         # TPU the per-dispatch RPC dominates, so one big program wins for
         # latency (decomposition in docs/PERF.md).
-        @partial(jax.jit, static_argnums=(7, 8, 9))
-        def image_fn(params_, x00_raw, y_direct, words, states, enable,
-                     pts3, pad_flags_t, ranges, num_lanes):
-            """Batch-generic over a leading K axis (K=1 for single images;
-            batched encode/decode shares the convs' batch dimension and one
-            scan per slice — each image still gets its own independent
-            rANS stream).
+        #
+        # A second program FAMILY splits the same pipeline at the finest
+        # scale (two_stage=True): head = scales S-1..1, tail = scale 0 +
+        # chain.  Decode order is coarse->fine, so the head consumes only
+        # a shape-derived PREFIX of the stream — the tail's words (the
+        # bulk) upload while the head computes (partial-stream decode;
+        # VERDICT r4 task #4).  A two_stage instance uses the pair for
+        # BOTH directions, preserving the same-executable CDF invariant
+        # within the instance (like num_lanes, the program family is an
+        # encoder/decoder-matched codec parameter).
 
-            x00_raw: [K, lh, lw, 3] uint8 raw header bands.  y_direct:
-            per-scale tuple indexed by scl — the encoder's precomputed
-            y_list ([K, h, w, 4c]; dummy zeros when decoding).
-            words/states: the decoders' stream buffers [K, cap] + header
-            lane states [K, N] (dummies when encoding).  Returns (finest
-            y_lev, rgb [K,H,W,3], enc stream buffers [K, cap], enc
-            per-slice cursors [K, n_slices] in encode order, enc final
-            lane states [K, N])."""
+        def _scales_chain(params_, x00_raw, y_prev, y_direct, base, words,
+                          states, offset, enable, sf, scls, pts3,
+                          pad_flags_t, ranges, num_lanes):
+            """Shared traced body: process ``scls`` (descending) scales.
+            y_direct[scl - base] is the encoder's precomputed y_list entry
+            (dummy zeros when decoding); y_prev seeds the interleave when
+            the coarsest processed scale is not S-1."""
             S = cfg.num_scales
             K = x00_raw.shape[0]
             shift = jnp.array([127, 0, 0], jnp.int32)
             on = enable > 0
-            offset = jnp.zeros((K,), jnp.int32)
-            sf = []
-            y_lev = None
-            for scl in range(S - 1, -1, -1):
+            y_lev = y_prev
+            for scl in scls:
                 if scl == S - 1:
                     ycocg = rgb_int_to_ycocg_r_int(x00_raw.astype(jnp.int32))
                     x00 = (ycocg - shift).astype(jnp.float32) * INV255
@@ -457,23 +465,35 @@ class Codec:
                     h, w = x00.shape[1], x00.shape[2]
                     y0 = jnp.zeros((K, h, w, 4 * c), jnp.float32)
                     y0 = y0.at[..., 0:c].set(x00)
-                y_lev = jnp.where(on, y0, y_direct[scl])
+                y_lev = jnp.where(on, y0, y_direct[scl - base])
                 padH, padW = pad_flags_t[scl]
                 for b in range(3):
                     y_lev, states, offset = _band_body(
                         params_, y_lev, words, states, offset, enable, sf,
                         scl, b, padH, padW, ranges, pts3, num_lanes)
-            # final interleave + inverse color transform fused in
+            return y_lev, states, offset
+
+        def _finalize_rgb(y_lev, pad_flags_t):
+            """Final interleave + inverse color transform."""
+            shift = jnp.array([127, 0, 0], jnp.int32)
             y_c = interleave_scale(y_lev, c, int(pad_flags_t[0][0]),
                                    int(pad_flags_t[0][1]))
             y_3ch = y_c[..., clr_off:clr_off + 3]
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
-            rgb = ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
+            return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
-            # encode side: chained rANS encode of all slices in reverse
-            # decode order, inside the same executable (integer-only, so
-            # no float-determinism hazard; skipped at runtime on decode)
-            capw = words.shape[1]
+        def _chain_and_ideal(sf, enable, K, capw, num_lanes):
+            """Encode side: chained rANS encode of all slices in reverse
+            decode order (integer-only, so no float-determinism hazard;
+            skipped at runtime on decode), plus the per-slice IDEAL code
+            length from the quantized tables the coder actually uses:
+            sum -log2(freq/2^16) over real symbols (freq 0 marks bucket
+            padding).  The ideal is the range-restricted estimate —
+            against (a) the model's full-range differentiable estimate it
+            isolates the per-image dynamic-range saving, against (b) the
+            actual stream it isolates rANS overhead (lane flush + renorm
+            quantization).  Decode-side: zeros (sf skipped under cond)."""
+            on = enable > 0
             n_slices = len(sf) // 2
 
             def do_chain(sf_flat):
@@ -495,14 +515,6 @@ class Codec:
 
             buf, cursors, enc_states = jax.lax.cond(
                 on, skip_chain, do_chain, tuple(sf))
-            # per-slice IDEAL code length from the quantized tables the
-            # coder actually uses: sum -log2(freq/2^16) over real symbols
-            # (freq 0 marks bucket padding).  This is the range-restricted
-            # estimate — comparing it against (a) the model's full-range
-            # differentiable estimate isolates the per-image dynamic-range
-            # saving, and against (b) the actual stream isolates rANS
-            # overhead (lane flush + renorm quantization).  Decode-side:
-            # zeros on the XLA path (sf skipped under cond); harmless.
             ideal = []
             for st_arr, fr_arr in zip(sf[0::2], sf[1::2]):
                 fr_f = jnp.maximum(fr_arr, 1).astype(jnp.float32)
@@ -512,6 +524,69 @@ class Codec:
                     axis=1)
                 ideal.append(bits)
             ideal_bits = jnp.stack(ideal, axis=1)  # [K, n_slices] dec order
+            return buf, cursors, enc_states, ideal_bits
+
+        @partial(jax.jit, static_argnums=(7, 8, 9))
+        def image_fn(params_, x00_raw, y_direct, words, states, enable,
+                     pts3, pad_flags_t, ranges, num_lanes):
+            """Batch-generic over a leading K axis (K=1 for single images;
+            batched encode/decode shares the convs' batch dimension and one
+            scan per slice — each image still gets its own independent
+            rANS stream).
+
+            x00_raw: [K, lh, lw, 3] uint8 raw header bands.  y_direct:
+            per-scale tuple indexed by scl — the encoder's precomputed
+            y_list ([K, h, w, 4c]; dummy zeros when decoding).
+            words/states: the decoders' stream buffers [K, cap] + header
+            lane states [K, N] (dummies when encoding).  Returns (finest
+            y_lev, rgb [K,H,W,3], enc stream buffers [K, cap], enc
+            per-slice cursors [K, n_slices] in encode order, enc final
+            lane states [K, N])."""
+            S = cfg.num_scales
+            K = x00_raw.shape[0]
+            offset = jnp.zeros((K,), jnp.int32)
+            sf = []
+            y_lev, states, _off = _scales_chain(
+                params_, x00_raw, None, y_direct, 0, words, states, offset,
+                enable, sf, tuple(range(S - 1, -1, -1)), pts3, pad_flags_t,
+                ranges, num_lanes)
+            rgb = _finalize_rgb(y_lev, pad_flags_t)
+            buf, cursors, enc_states, ideal_bits = _chain_and_ideal(
+                sf, enable, K, words.shape[1], num_lanes)
+            return y_lev, rgb, buf, cursors, enc_states, ideal_bits
+
+        @partial(jax.jit, static_argnums=(7, 8, 9))
+        def head_fn(params_, x00_raw, y_direct_h, words_h, states, enable,
+                    pts3, pad_flags_t, ranges, num_lanes):
+            """Two-stage stage 1: scales S-1..1 on the stream PREFIX
+            (words_h: [K, cap_head], shape-derived worst case for the
+            coarse scales).  Returns the scale-1 tensor + rANS cursor
+            state + the (start, freq) stacks for the encoder's chain."""
+            S = cfg.num_scales
+            K = x00_raw.shape[0]
+            offset = jnp.zeros((K,), jnp.int32)
+            sf = []
+            y_lev, states, offset = _scales_chain(
+                params_, x00_raw, None, y_direct_h, 1, words_h, states,
+                offset, enable, sf, tuple(range(S - 1, 0, -1)), pts3,
+                pad_flags_t, ranges, num_lanes)
+            return y_lev, states, offset, tuple(sf)
+
+        @partial(jax.jit, static_argnums=(9, 10, 11))
+        def tail_fn(params_, y1, y_direct0, words, states, offset, enable,
+                    sf_head, pts3, pad_flags_t, ranges, num_lanes):
+            """Two-stage stage 2: scale 0 on the FULL words buffer
+            (continuing at the head's offset — the head buffer is a
+            prefix of it), final color transform, and the full-image
+            encode chain + ideal bits over head+tail slices."""
+            K = y1.shape[0]
+            sf = list(sf_head)
+            y_lev, states, _off = _scales_chain(
+                params_, y1, y1, (y_direct0,), 0, words, states, offset,
+                enable, sf, (0,), pts3, pad_flags_t, ranges, num_lanes)
+            rgb = _finalize_rgb(y_lev, pad_flags_t)
+            buf, cursors, enc_states, ideal_bits = _chain_and_ideal(
+                sf, enable, K, words.shape[1], num_lanes)
             return y_lev, rgb, buf, cursors, enc_states, ideal_bits
 
         # ---- front end (encode): one program per image shape -------------
@@ -590,6 +665,20 @@ class Codec:
             return jnp.zeros((w.shape[0], cap), w.dtype).at[
                 :, : w.shape[1]].set(w)
 
+        @partial(jax.jit, static_argnums=(1,))
+        def slice_words_fn(w, cap):
+            """Full words buffer -> its head prefix (two-stage resident
+            paths, where the whole stream is already in HBM)."""
+            return w[:, :cap]
+
+        @partial(jax.jit, static_argnums=(2,))
+        def concat_pad_fn(a, b, cap):
+            """Two uploaded pieces -> the full worst-case words buffer
+            (two-stage split upload: b lands while the head computes)."""
+            out = jnp.zeros((a.shape[0], cap), a.dtype)
+            out = out.at[:, : a.shape[1]].set(a)
+            return out.at[:, a.shape[1]: a.shape[1] + b.shape[1]].set(b)
+
         @partial(jax.jit, static_argnums=(1, 2))
         def postprocess_fn(y_lev, crop_h, crop_w):
             """Final interleave + inverse color transform, fully on device."""
@@ -615,6 +704,10 @@ class Codec:
         self._band_params = band_params_fn
         self._cdf_u16 = cdf_u16_fn
         self._image_fn = image_fn
+        self._head_fn = head_fn
+        self._tail_fn = tail_fn
+        self._slice_words = slice_words_fn
+        self._concat_pad = concat_pad_fn
         self._front = front_fn
         self._gather_lohi = gather_lohi_fn
         self._writeback = writeback_fn
@@ -674,10 +767,15 @@ class Codec:
             shapes.append((scl, h, w))
         return shapes
 
-    def _words_cap(self, S, last_h, last_w, pad_flags) -> int:
-        """Worst-case stream words, derived from the image shape only."""
+    def _words_cap(self, S, last_h, last_w, pad_flags,
+                   min_scl: int = 0) -> int:
+        """Worst-case stream words, derived from the image shape only.
+        ``min_scl=1`` gives the two-stage HEAD prefix cap (decode order is
+        coarse->fine, so scales >= 1 read only the first cap_head words)."""
         total = self.N
         for scl, h, w in self._scale_shapes(S, last_h, last_w, pad_flags):
+            if scl < min_scl:
+                continue
             padH, padW = pad_flags[scl]
             for b in range(3):
                 ch, cw = band_coded_shape(h, w, b, padH, padW)
@@ -694,6 +792,20 @@ class Codec:
         return [header, np.array(minmax, np.int16).tobytes(),
                 np.array([pad_int], np.int16).tobytes(), raw,
                 b"", b"", b"", b"", b""]
+
+    def _host_header(self, rgb: np.ndarray):
+        """Host-side (minmax, raw-band) for the container header.
+
+        Bit-exact twin of the device computation in ``front_fn`` (integer
+        lifting + strided subsample) — removes the per-image device sync
+        the encoder used to pay for fetching them (one tunnel RTT; the
+        encode path then has a SINGLE host sync, the finalize fetch)."""
+        ycocg = rgb_int_to_ycocg_r_int_np(rgb[0])
+        minmax = [int(ycocg[..., c].min()) for c in range(3)] + \
+                 [int(ycocg[..., c].max()) for c in range(3)]
+        stride = 2 ** (max(self.cfg.dwtlevels) + 1)
+        raw = np.ascontiguousarray(rgb[:, ::stride, ::stride, :])
+        return minmax, raw.astype(np.uint8)
 
     def _prepare(self, rgb: np.ndarray):
         """[H,W,3]/[1,H,W,3] uint8 -> (padded [1,H',W',3], orig_h, orig_w).
@@ -722,14 +834,12 @@ class Codec:
         pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
         S = cfg.num_scales
 
-        y_list, mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.uint8)),
-                                          cfg.dwtlevels)
-        # one host sync for min/max + the raw header band together
-        mm_np, x00_np = jax.device_get((mm, x00_raw))
-        mn_y, mx_y, mn_co, mx_co, mn_cg, mx_cg = (int(v) for v in mm_np[0])
-        minmax = [mn_y, mn_co, mn_cg, mx_y, mx_co, mx_cg]
+        y_list, _mm, x00_raw = self._front(jnp.asarray(rgb.astype(np.uint8)),
+                                           cfg.dwtlevels)
+        # header derived on HOST (bit-exact integer twin) — no device sync
+        minmax, raw_np = self._host_header(rgb)
         last_h, last_w = y_list[S - 1].shape[1], y_list[S - 1].shape[2]
-        raw = np.asarray(x00_np).tobytes()
+        raw = raw_np.tobytes()
         streams: List[List[bytes]] = [
             self._header_group(S, last_h, last_w, orig_h, orig_w, minmax,
                                pad_int, raw)]
@@ -791,10 +901,22 @@ class Codec:
         dummy_words = self._const("zeros_u16", (K, cap))
         dummy_states = self._const("full_u32", (K, self.N), rd.RANS_L)
         zero = self._const("i32", fill=0)
-        _y, _rgb, buf, cursors, states, ideal = self._image_fn(
-            self.params, x00_raw, tuple(y_list), dummy_words, dummy_states,
-            zero, self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
-            self.N)
+        pts3 = self._pts3(ranges)
+        pf_t = self._pad_flags_t(pad_flags)
+        if self.two_stage:
+            # same head/tail executables the decoder runs (CDF invariant)
+            cap_h = self._words_cap(S, last_h, last_w, pad_flags, min_scl=1)
+            dummy_head = self._const("zeros_u16", (K, cap_h))
+            y1, st_h, off_h, sf_head = self._head_fn(
+                self.params, x00_raw, tuple(y_list[1:]), dummy_head,
+                dummy_states, zero, pts3, pf_t, ranges, self.N)
+            _y, _rgb, buf, cursors, states, ideal = self._tail_fn(
+                self.params, y1, y_list[0], dummy_words, st_h, off_h,
+                zero, sf_head, pts3, pf_t, ranges, self.N)
+        else:
+            _y, _rgb, buf, cursors, states, ideal = self._image_fn(
+                self.params, x00_raw, tuple(y_list), dummy_words,
+                dummy_states, zero, pts3, pf_t, ranges, self.N)
         slice_meta = [(scl, b, clr) for scl in range(S - 1, -1, -1)
                       for b in range(3) for clr in range(3)]
         return slice_meta, cursors, states, buf, ideal
@@ -822,6 +944,12 @@ class Codec:
                                      np.asarray(states_np)[0])
         streams.append([blob])
         self.last_slice_bits = self._slice_bits_table(slice_meta, cursors_np)
+        # head split point (exact words the coarse scales S-1..1 consume):
+        # lets a two-stage decoder upload only the stream head before
+        # dispatching stage 1 (rows are decode order, coarsest first)
+        head_words = sum(sum(row) for row in self.last_slice_bits[:-1]) // 16
+        streams[0][0] = (streams[0][0][:13]
+                         + np.array([head_words], np.uint32).tobytes())
         return streams
 
     def _ideal_bits_table(self, ideal_row) -> List[List[float]]:
@@ -866,7 +994,12 @@ class Codec:
     def compress_many(self, imgs) -> List[List[List[bytes]]]:
         """Pipelined encode of several images (device backend): all front
         transforms dispatch first (uploads overlap), then all slice/chain
-        programs, with one host sync per stage instead of three per image."""
+        programs, with one host sync per stage instead of three per image.
+
+        Accounting matches :meth:`compress_batch`: ``last_slice_bits_batch``
+        / ``last_ideal_bits_batch`` hold one [scale][b*3+clr] table per
+        image; ``last_slice_bits`` / ``last_ideal_bits`` are the
+        elementwise sums over the call."""
         cfg = self.cfg
         S = cfg.num_scales
         stage1 = []
@@ -874,22 +1007,20 @@ class Codec:
             rgb, orig_h, orig_w = self._prepare(rgb)
             H, W = rgb.shape[1], rgb.shape[2]
             pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
-            y_list, mm, x00_raw = self._front(
+            y_list, _mm, x00_raw = self._front(
                 jnp.asarray(rgb.astype(np.uint8)), cfg.dwtlevels)
-            stage1.append((y_list, mm, x00_raw, pad_flags, pad_int,
-                           orig_h, orig_w))
-        mms = jax.device_get([(s[1], s[2]) for s in stage1])
+            # host-derived header (no sync): the upload of image i+1 and
+            # the slice programs of image i overlap with this host work
+            minmax, raw_np = self._host_header(rgb)
+            stage1.append((y_list, minmax, raw_np, x00_raw, pad_flags,
+                           pad_int, orig_h, orig_w))
         stage2 = []
-        for (y_list, _, x00_raw, pad_flags, pad_int, orig_h, orig_w), (
-                mm_np, x00_np) in zip(stage1, mms):
-            mn_y, mx_y, mn_co, mx_co, mn_cg, mx_cg = (
-                int(v) for v in mm_np[0])
-            minmax = [mn_y, mn_co, mn_cg, mx_y, mx_co, mx_cg]
+        for (y_list, minmax, raw_np, x00_raw, pad_flags, pad_int,
+             orig_h, orig_w) in stage1:
             last_h = y_list[S - 1].shape[1]
             last_w = y_list[S - 1].shape[2]
             streams = [self._header_group(S, last_h, last_w, orig_h, orig_w,
-                                          minmax, pad_int,
-                                          np.asarray(x00_np).tobytes())]
+                                          minmax, pad_int, raw_np.tobytes())]
             meta, cursors, states, buf, ideal = self._encode_dispatch(
                 y_list, x00_raw, minmax, pad_flags)
             stage2.append((streams, meta, cursors, states, buf, ideal))
@@ -904,6 +1035,13 @@ class Codec:
             reqs.append((cursors, states, ideal, buf[:, :bucket_g]))
         got = jax.device_get(reqs)
         out = []
+        # per-image accounting (same contract as compress_batch): the
+        # *_batch tables carry one [scale][b*3+clr] table per image, and
+        # last_slice_bits/last_ideal_bits are the elementwise sums — so
+        # the est/act + coder-closure gates describe EVERY image of a
+        # pipelined call, not just the last one
+        per_act: List[List[List[int]]] = []
+        per_ideal: List[List[List[float]]] = []
         for (streams, meta, _c, _s, buf, _i), (
                 cursors_np, states_np, ideal_np, packed) in zip(stage2, got):
             total = int(np.asarray(cursors_np)[0, -1])
@@ -916,8 +1054,16 @@ class Codec:
             self._spec_words[cap] = total + total // 8
             out.append(self._encode_finalize(streams, meta, cursors_np,
                                              states_np, packed))
-            self.last_ideal_bits = self._ideal_bits_table(
-                np.asarray(ideal_np)[0])
+            per_act.append(self.last_slice_bits)
+            per_ideal.append(self._ideal_bits_table(np.asarray(ideal_np)[0]))
+        self.last_slice_bits_batch = per_act
+        self.last_ideal_bits_batch = per_ideal
+        self.last_slice_bits = [
+            [sum(t[s][i] for t in per_act) for i in range(9)]
+            for s in range(len(per_act[0]))]
+        self.last_ideal_bits = [
+            [sum(t[s][i] for t in per_ideal) for i in range(9)]
+            for s in range(len(per_ideal[0]))]
         return out
 
     def _decode_host_prep(self, streams, S, minmax, pad_flags, raw):
@@ -932,22 +1078,50 @@ class Codec:
         w_pad = np.pad(words_np.astype(np.uint16),
                        (0, up - words_np.size))[None]
         return dict(S=S, minmax=minmax, pad_flags=pad_flags, raw=raw,
-                    states=states_np[None], w_pad=w_pad)
+                    states=states_np[None], w_pad=w_pad,
+                    head_words=getattr(self, "_head_words", 0))
 
-    def _decode_launch(self, p, w_small, states, raw_dev):
-        """Dispatch the fused decode program on uploaded buffers."""
-        S, pad_flags, raw = p["S"], p["pad_flags"], p["raw"]
-        ranges = self._ranges(p["minmax"])
-        cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
-        words = self._pad_words(w_small, cap)
-        one = self._const("i32", fill=1)
+    def _decode_ydirect(self, S, raw, pad_flags):
         c4 = 4 * self.cfg.cond_channels
         shapes = dict((scl, (h, w)) for scl, h, w in
                       self._scale_shapes(S, raw.shape[1], raw.shape[2],
                                          pad_flags))
-        y_direct = tuple(
+        return tuple(
             self._const("zeros_f32", (1,) + shapes[scl] + (c4,))
             for scl in range(S))
+
+    def _two_stage_decode(self, S, raw, pad_flags, ranges, words_head,
+                          words_full, states, raw_dev):
+        """Head dispatch on the stream prefix, tail on the full buffer
+        (single image; the batch path branches in _batch_launch)."""
+        pts3 = self._pts3(ranges)
+        pf_t = self._pad_flags_t(pad_flags)
+        one = self._const("i32", fill=1)
+        y_direct = self._decode_ydirect(S, raw, pad_flags)
+        y1, st_h, off_h, sf_head = self._head_fn(
+            self.params, raw_dev, y_direct[1:], words_head, states, one,
+            pts3, pf_t, ranges, self.N)
+        y_lev, rgb, _b, _c, _e, _i = self._tail_fn(
+            self.params, y1, y_direct[0], words_full, st_h, off_h, one,
+            sf_head, pts3, pf_t, ranges, self.N)
+        self._last_y_lev = (y_lev, int(pad_flags[0][0]),
+                            int(pad_flags[0][1]))
+        return rgb
+
+    def _decode_launch(self, p, w_small, states, raw_dev):
+        """Dispatch the decode program(s) on uploaded buffers."""
+        S, pad_flags, raw = p["S"], p["pad_flags"], p["raw"]
+        ranges = self._ranges(p["minmax"])
+        cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
+        words = self._pad_words(w_small, cap)
+        if self.two_stage:
+            cap_h = self._words_cap(S, raw.shape[1], raw.shape[2],
+                                    pad_flags, min_scl=1)
+            return self._two_stage_decode(
+                S, raw, pad_flags, ranges,
+                self._slice_words(words, cap_h), words, states, raw_dev)
+        one = self._const("i32", fill=1)
+        y_direct = self._decode_ydirect(S, raw, pad_flags)
         y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
             self.params, raw_dev, y_direct, words, states, one,
             self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
@@ -958,6 +1132,38 @@ class Codec:
 
     def _decompress_device(self, streams, S, minmax, pad_flags, raw):
         p = self._decode_host_prep(streams, S, minmax, pad_flags, raw)
+        if self.two_stage and p["head_words"] > 0:
+            # split upload: dispatch the head on the stream PREFIX, then
+            # upload the tail while the coarse scales compute (all calls
+            # below are async; the one sync is the caller's rgb fetch)
+            hw = p["head_words"]
+            w_np = p["w_pad"]
+            uh = min(w_np.shape[1], -(-max(1, hw) // 16384) * 16384)
+            head_small = jnp.asarray(w_np[:, :uh])
+            states_dev = jnp.asarray(p["states"], jnp.uint32)
+            raw_dev = jnp.asarray(raw)
+            ranges = self._ranges(minmax)
+            cap = self._words_cap(S, raw.shape[1], raw.shape[2], pad_flags)
+            cap_h = self._words_cap(S, raw.shape[1], raw.shape[2],
+                                    pad_flags, min_scl=1)
+            words_head = self._pad_words(head_small, cap_h)
+            pts3 = self._pts3(ranges)
+            pf_t = self._pad_flags_t(pad_flags)
+            one = self._const("i32", fill=1)
+            y_direct = self._decode_ydirect(S, raw, pad_flags)
+            # head dispatched BEFORE the tail upload is enqueued, so the
+            # coarse scales compute while the stream bulk is in flight
+            y1, st_h, off_h, sf_head = self._head_fn(
+                self.params, raw_dev, y_direct[1:], words_head, states_dev,
+                one, pts3, pf_t, ranges, self.N)
+            tail_small = jnp.asarray(w_np[:, uh:])
+            words_full = self._concat_pad(head_small, tail_small, cap)
+            y_lev, rgb, _b, _c, _e, _i = self._tail_fn(
+                self.params, y1, y_direct[0], words_full, st_h, off_h, one,
+                sf_head, pts3, pf_t, ranges, self.N)
+            self._last_y_lev = (y_lev, int(pad_flags[0][0]),
+                                int(pad_flags[0][1]))
+            return rgb
         return self._decode_launch(
             p, jnp.asarray(p["w_pad"]),
             jnp.asarray(p["states"], jnp.uint32), jnp.asarray(raw))
@@ -1067,6 +1273,9 @@ class Codec:
         assert S == self.cfg.num_scales
         last_h, last_w = (int(v) for v in np.frombuffer(hdr[1:5], np.uint16))
         orig_h, orig_w = (int(v) for v in np.frombuffer(hdr[5:13], np.uint32))
+        # head split point (two-stage decode); 0 on pre-split containers
+        self._head_words = (int(np.frombuffer(hdr[13:17], np.uint32)[0])
+                            if len(hdr) >= 17 else 0)
         minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
         pad_int = int(np.frombuffer(streams[0][2], np.int16)[0])
         pad_flags = unpack_pad_flags(pad_int, S)
@@ -1134,6 +1343,22 @@ class Codec:
             for scl in range(S))
         pts3 = self._pts3(ranges)
         pf_t = self._pad_flags_t(pad_flags)
+        if self.two_stage:
+            cap_h = self._words_cap(S, raw.shape[1], raw.shape[2],
+                                    pad_flags, min_scl=1)
+            words_head = jax.block_until_ready(
+                self._slice_words(words, cap_h))
+
+            def dispatch():
+                y1, st_h, off_h, sf_head = self._head_fn(
+                    self.params, raw_dev, y_direct[1:], words_head, states,
+                    one, pts3, pf_t, ranges, self.N)
+                _y, rgb, _b, _c, _s, _i = self._tail_fn(
+                    self.params, y1, y_direct[0], words, st_h, off_h, one,
+                    sf_head, pts3, pf_t, ranges, self.N)
+                return rgb
+
+            return dispatch
 
         def dispatch():
             _y, rgb, _b, _c, _s, _i = self._image_fn(
@@ -1153,9 +1378,7 @@ class Codec:
         H, W = rgb.shape[1], rgb.shape[2]
         pad_flags, _pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
         rgb_dev = jax.device_put(rgb.astype(np.uint8))
-        y_list, mm, x00_raw = self._front(rgb_dev, cfg.dwtlevels)
-        mm_np = np.asarray(jax.device_get(mm))
-        minmax = [int(mm_np[0, i]) for i in (0, 2, 4, 1, 3, 5)]
+        minmax, _raw = self._host_header(rgb)
 
         def dispatch():
             y_list, _mm, x00_raw = self._front(rgb_dev, cfg.dwtlevels)
@@ -1189,11 +1412,14 @@ class Codec:
         batch = np.concatenate(arrs, axis=0).astype(np.uint8)
         H, W = batch.shape[1], batch.shape[2]
         pad_flags, pad_int = pad_flags_for_shape(H, W, cfg.dwtlevels)
-        y_list, mm, x00_raw = self._front(jnp.asarray(batch), cfg.dwtlevels)
-        mm_np, x00_np = jax.device_get((mm, x00_raw))
-        minmax = [int(mm_np[:, 0].min()), int(mm_np[:, 2].min()),
-                  int(mm_np[:, 4].min()), int(mm_np[:, 1].max()),
-                  int(mm_np[:, 3].max()), int(mm_np[:, 5].max())]
+        y_list, _mm, x00_raw = self._front(jnp.asarray(batch), cfg.dwtlevels)
+        # union minmax + raw band on HOST (bit-exact twin; no device sync)
+        ycocg = rgb_int_to_ycocg_r_int_np(batch)
+        minmax = [int(ycocg[..., c].min()) for c in range(3)] + \
+                 [int(ycocg[..., c].max()) for c in range(3)]
+        stride = 2 ** (max(cfg.dwtlevels) + 1)
+        x00_np = np.ascontiguousarray(
+            batch[:, ::stride, ::stride, :]).astype(np.uint8)
         last_h = y_list[S - 1].shape[1]
         last_w = y_list[S - 1].shape[2]
         origs = np.array([[p[1], p[2]] for p in prepped], np.uint32)
@@ -1275,10 +1501,22 @@ class Codec:
         y_direct = tuple(
             self._const("zeros_f32", (K,) + shapes[scl] + (c4,))
             for scl in range(S))
-        y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
-            self.params, raw_dev, y_direct, words, states, one,
-            self._pts3(ranges), self._pad_flags_t(pad_flags), ranges,
-            self.N)
+        pts3 = self._pts3(ranges)
+        pf_t = self._pad_flags_t(pad_flags)
+        if self.two_stage:
+            cap_h = self._words_cap(S, m["last_h"], m["last_w"], pad_flags,
+                                    min_scl=1)
+            y1, st_h, off_h, sf_head = self._head_fn(
+                self.params, raw_dev, y_direct[1:],
+                self._slice_words(words, cap_h), states, one, pts3, pf_t,
+                ranges, self.N)
+            y_lev, rgb, _b, _c, _e, _i = self._tail_fn(
+                self.params, y1, y_direct[0], words, st_h, off_h, one,
+                sf_head, pts3, pf_t, ranges, self.N)
+        else:
+            y_lev, rgb, _buf, _curs, _est, _ideal = self._image_fn(
+                self.params, raw_dev, y_direct, words, states, one,
+                pts3, pf_t, ranges, self.N)
         self._last_y_lev = (y_lev, int(pad_flags[0][0]),
                             int(pad_flags[0][1]))
         return rgb

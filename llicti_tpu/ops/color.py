@@ -63,3 +63,19 @@ def ycocg_r_int_to_rgb_int(x: jnp.ndarray) -> jnp.ndarray:
     B = t - Co // 2
     R = B + Co
     return jnp.stack((R, G, B), axis=-1)
+
+
+def rgb_int_to_ycocg_r_int_np(x) -> "np.ndarray":
+    """Host (numpy) twin of :func:`rgb_int_to_ycocg_r_int` — bit-exact
+    (integer floor-division lifting is deterministic on both sides), so
+    the encoder can derive the header minmax/raw band WITHOUT a device
+    round-trip (the sync it replaces costs one tunnel RTT per image)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int32)
+    R, G, B = x[..., 0], x[..., 1], x[..., 2]
+    Co = R - B
+    t = B + Co // 2  # numpy floor-division == jnp floor-division
+    Cg = G - t
+    Y = t + Cg // 2
+    return np.stack((Y, Co, Cg), axis=-1)

@@ -117,6 +117,9 @@ class ShardedCodec:
         self.G = self.mesh.devices.size
         self.N = num_lanes
         self.last_slice_bits: Optional[List[List[int]]] = None
+        self.last_ideal_bits: Optional[List[List[float]]] = None
+        self.last_slice_bits_batch: Optional[List] = None
+        self.last_ideal_bits_batch: Optional[List] = None
         # dense block-diagonal execution of grouped convs (same math,
         # full MXU contractions — llicti_tpu/codec.py:dense_group_params)
         params = dense_group_params(params, cfg)
@@ -138,7 +141,8 @@ class ShardedCodec:
         self.sh_img = sh_img
         self.repl = repl
         self.sh_row = sh_row
-        self.params = jax.device_put(params, repl)
+        self._zeros_cache = {}
+        self.params = jax.tree.map(lambda x: self._put(x, repl), params)
         model = self.model
 
         # ---- fused per-SCALE program ----------------------------------------
@@ -282,7 +286,16 @@ class ShardedCodec:
             # [9, G, bkt] stacks: one pair per scale for the grouped encode
             st9 = jnp.stack(sf[0::2])
             fr9 = jnp.stack(sf[1::2])
-            return y_lev, states, offs, st9, fr9, rgb
+            # per-slice IDEAL code length from the quantized tables the
+            # coder uses: sum -log2(freq/2^16) over real symbols, reduced
+            # across shards (GSPMD inserts the psum) — same closure leg
+            # as the single-chip codec (llicti_tpu/codec.py image_fn).
+            # Zeros on decode (sf skipped under cond); harmless.
+            fr_f = jnp.maximum(fr9, 1).astype(jnp.float32)
+            ideal9 = jnp.sum(
+                jnp.where(fr9 > 0, np.float32(16.0) - jnp.log2(fr_f), 0.0),
+                axis=(1, 2))
+            return y_lev, states, offs, st9, fr9, rgb, ideal9
 
         # ---- grouped per-shard rANS encode: one program per scale ----------
         # Chains the scale's 9 slices (reverse decode order) through each
@@ -314,7 +327,8 @@ class ShardedCodec:
         def front_fn(rgb_u8, levels):
             rgb_int = rgb_u8.astype(jnp.int32)
             ycocg = rgb_int_to_ycocg_r_int(rgb_int)
-            mm = (jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
+            mm = (jnp.min(ycocg[..., 0]), jnp.max(ycocg[..., 0]),
+                  jnp.min(ycocg[..., 1]), jnp.max(ycocg[..., 1]),
                   jnp.min(ycocg[..., 2]), jnp.max(ycocg[..., 2]))
             shift = jnp.array([127, 0, 0], jnp.int32)
             x = (ycocg - shift).astype(jnp.float32) * INV255
@@ -355,15 +369,52 @@ class ShardedCodec:
         # dispatch economics: jitted-program calls per decode/encode,
         # reported by tools/eval + tests (VERDICT r2 weak #3)
         self.dispatch_counts = {"decode": 0, "encode": 0}
-        # cached sharded zero tensors (decoder y_direct dummies): no
-        # per-image buffer-creation dispatches
-        self._zeros_cache = {}
+        # cached committed scalar flags (multi-process-safe; see _put)
+        self._zero = self._put(np.zeros((), np.int32), repl)
+        self._one = self._put(np.ones((), np.int32), repl)
+
+    # ---- multi-process-safe host<->device helpers ----------------------
+    # When the sp mesh spans OS processes (jax.distributed; the multi-host
+    # pod analog), plain device_put/device_get only touch addressable
+    # shards.  _put builds a global array from the identical host value
+    # every process holds; _fetch all-gathers non-replicated arrays to
+    # replicated before the get.  Single-process: plain put/get.
+
+    def _put(self, arr, sharding):
+        arr = np.asarray(arr)
+        if jax.process_count() == 1:
+            return jax.device_put(arr, sharding)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    def _fetch(self, arrays):
+        if jax.process_count() == 1:
+            return jax.device_get(arrays)
+
+        def rep(a):
+            if getattr(a, "is_fully_replicated", True):
+                return a
+            key = ("rep", a.shape, str(a.dtype))
+            if key not in self._zeros_cache:
+                self._zeros_cache[key] = jax.jit(
+                    lambda t: t, out_shardings=self.repl)
+            return self._zeros_cache[key](a)
+
+        return jax.device_get(jax.tree.map(rep, arrays))
 
     def _sharded_zeros(self, shape) -> jnp.ndarray:
         if shape not in self._zeros_cache:
-            self._zeros_cache[shape] = jax.device_put(
-                jnp.zeros(shape, jnp.float32), self.sh_img)
+            self._zeros_cache[shape] = self._put(
+                np.zeros(shape, np.float32), self.sh_img)
         return self._zeros_cache[shape]
+
+    def _dummy_row(self, kind, shape, dtype, fill) -> jnp.ndarray:
+        """Cached read-only row-sharded constant buffers (encoder dummies)."""
+        key = (kind, shape, fill)
+        if key not in self._zeros_cache:
+            self._zeros_cache[key] = self._put(
+                np.full(shape, fill, dtype), self.sh_row)
+        return self._zeros_cache[key]
 
     def _pts3(self, ranges) -> Tuple[jnp.ndarray, ...]:
         """Cached replicated sampling grids (runtime operands)."""
@@ -371,7 +422,7 @@ class ShardedCodec:
         for minv, maxv in ranges:
             key = ("pts", minv, maxv)
             if key not in self._zeros_cache:
-                self._zeros_cache[key] = jax.device_put(
+                self._zeros_cache[key] = self._put(
                     cdf_sampling_points(minv, maxv), self.repl)
             out.append(self._zeros_cache[key])
         return tuple(out)
@@ -382,8 +433,14 @@ class ShardedCodec:
         return self.G * st, st
 
     def _clr_range(self, clr: int, minmax) -> Tuple[int, int]:
+        """Per-image bucketed dynamic range, incl. Y (clamped to the
+        reference's [-127, 128]) — same policy as the single-chip
+        Codec._clr_range, so the mesh path pays no rate/CDF-width
+        penalty vs single-chip."""
         if clr == 0:
-            return -127, 128
+            lo, hi = _bucket_range(int(minmax[0]) - 127,
+                                   int(minmax[3]) - 127)
+            return max(lo, -127), min(hi, 128)
         return _bucket_range(int(minmax[clr]), int(minmax[3 + clr]))
 
     def _ranges(self, minmax):
@@ -415,34 +472,34 @@ class ShardedCodec:
         last_h = y_list[S - 1].shape[1]
         last_w = y_list[S - 1].shape[2]
         cap = self._words_cap(S, last_h, last_w)
-        dummy_words = self._pad_words(
-            jnp.zeros((self.G, 4096), jnp.uint16), cap)
-        dummy_states = jax.device_put(
-            jnp.full((self.G, self.N), rd.RANS_L, jnp.uint32), self.sh_row)
-        dummy_offs = jax.device_put(
-            jnp.zeros((self.G,), jnp.int32), self.sh_row)
-        zero = jnp.int32(0)
+        dummy_words = self._dummy_row("words", (self.G, cap), np.uint16, 0)
+        dummy_states = self._dummy_row(
+            "states", (self.G, self.N), np.uint32, rd.RANS_L)
+        dummy_offs = self._dummy_row("offs", (self.G,), np.int32, 0)
+        zero = self._zero
         # per scale (decode order): stacked (start, freq) pairs from the
         # SAME executables the decoder runs (enable=0); the encoder
         # passes its own y_list tensors as y_prev/y_direct (the runtime
         # select discards the interleave path)
         scale_sf = []
+        ideals = []  # decode order (coarsest first), each [9] device
         for scl in range(S - 1, -1, -1):
             y_prev = y_list[scl + 1] if scl < S - 1 else y_list[scl]
-            _y, _s, _o, st9, fr9, _rgb = self._scale_fn(
+            _y, _s, _o, st9, fr9, _rgb, ideal9 = self._scale_fn(
                 self.params, x00_raw, y_prev, y_list[scl], dummy_words,
                 dummy_states, dummy_offs, zero, self._pts3(ranges), scl,
                 ranges)
             self.dispatch_counts["encode"] += 1
             scale_sf.append((st9, fr9))
+            ideals.append(ideal9)
         # chained per-shard encode: scales fine->coarse (reverse decode
-        # order), one grouped program per scale
-        states = jax.device_put(
-            jnp.full((self.G, self.N), rd.RANS_L, jnp.uint32), self.sh_row)
-        bufs = jax.device_put(jnp.zeros((self.G, cap), jnp.int32),
-                              self.sh_row)
-        cursors = jax.device_put(jnp.zeros((self.G,), jnp.int32),
-                                 self.sh_row)
+        # order), one grouped program per scale.  bufs is donated to the
+        # chain programs, so it must be a FRESH buffer each call (the
+        # cached dummies above are read-only).
+        states = self._put(
+            np.full((self.G, self.N), rd.RANS_L, np.uint32), self.sh_row)
+        bufs = self._put(np.zeros((self.G, cap), np.int32), self.sh_row)
+        cursors = self._put(np.zeros((self.G,), np.int32), self.sh_row)
         curs_per_scale = []  # encode order; each [9, G]
         for st9, fr9 in reversed(scale_sf):
             bufs, states, curs9 = self._encode_group(
@@ -450,7 +507,7 @@ class ShardedCodec:
             self.dispatch_counts["encode"] += 1
             cursors = curs9[-1]
             curs_per_scale.append(curs9)
-        return curs_per_scale, states, bufs
+        return curs_per_scale, states, bufs, ideals
 
     def _encode_finalize(self, streams, curs_np_list, states_np, packed_np):
         """Assemble per-shard blobs + per-slice bit accounting."""
@@ -496,15 +553,16 @@ class ShardedCodec:
             W = -(-orig_w // mw) * mw
             padded = np.pad(rgb, ((0, 0), (0, H - orig_h), (0, W - orig_w),
                                   (0, 0)), mode="edge")
-            x_dev = jax.device_put(padded.astype(np.uint8), self.sh_img)
+            x_dev = self._put(padded.astype(np.uint8), self.sh_img)
             y_list, mm, x00_raw = self._front(x_dev, cfg.dwtlevels)
             stage1.append((y_list, mm, x00_raw, orig_h, orig_w))
-        mms = jax.device_get([(s[1], s[2]) for s in stage1])
+        mms = self._fetch([(s[1], s[2]) for s in stage1])
         stage2 = []
         for (y_list, _, x00_raw, orig_h, orig_w), (mm_np, x00_np) in zip(
                 stage1, mms):
-            min_co, max_co, min_cg, max_cg = (int(v) for v in mm_np)
-            minmax = [0, min_co, min_cg, 255, max_co, max_cg]
+            (min_y, max_y, min_co, max_co,
+             min_cg, max_cg) = (int(v) for v in mm_np)
+            minmax = [min_y, min_co, min_cg, max_y, max_co, max_cg]
             last_h = y_list[S - 1].shape[1]
             last_w = y_list[S - 1].shape[2]
             hdr = (np.array([S, self.G], np.uint8).tobytes()
@@ -512,22 +570,38 @@ class ShardedCodec:
                    + np.array([orig_h, orig_w], np.uint32).tobytes())
             streams = [[hdr, np.array(minmax, np.int16).tobytes(),
                         np.asarray(x00_np).tobytes()]]
-            curs, states, bufs = self._encode_dispatch(y_list, x00_raw,
-                                                       minmax)
-            stage2.append((streams, curs, states, bufs))
-        got = jax.device_get([(s[1], s[2]) for s in stage2])
+            curs, states, bufs, ideals = self._encode_dispatch(
+                y_list, x00_raw, minmax)
+            stage2.append((streams, curs, states, bufs, ideals))
+        got = self._fetch([(s[1], s[2], s[4]) for s in stage2])
         packed_bufs = []
-        for (_st, _c, _s, bufs), (curs_np_list, _states) in zip(stage2, got):
+        for (_st, _c, _s, bufs, _i), (curs_np_list, _states, _id) in zip(
+                stage2, got):
             maxc = int(np.concatenate(curs_np_list, axis=0)[-1].max())
             bucket = min(bufs.shape[1], -(-max(1, maxc) // 16384) * 16384)
             packed_bufs.append(bufs[:, :bucket])
-        packed_all = jax.device_get(packed_bufs)
+        packed_all = self._fetch(packed_bufs)
         out = []
-        for (streams, _c, _s, _b), (curs_np_list, states_np), packed in zip(
+        per_act, per_ideal = [], []
+        for (streams, _c, _s, _b, _i), (curs_np_list, states_np,
+                                        ideals_np), packed in zip(
                 stage2, got, packed_all):
             out.append(self._encode_finalize(
                 streams, [np.asarray(x) for x in curs_np_list],
                 np.asarray(states_np), np.asarray(packed)))
+            per_act.append(self.last_slice_bits)
+            # ideals_np: decode order (coarsest first), each [9]
+            per_ideal.append([[float(v) for v in row] for row in ideals_np])
+        # same accounting contract as the single-chip codec: *_batch =
+        # one table per image, flat attrs = elementwise sums
+        self.last_slice_bits_batch = per_act
+        self.last_ideal_bits_batch = per_ideal
+        self.last_slice_bits = [
+            [sum(t[s][i] for t in per_act) for i in range(9)]
+            for s in range(S)]
+        self.last_ideal_bits = [
+            [sum(t[s][i] for t in per_ideal) for i in range(9)]
+            for s in range(S)]
         return out
 
     # ------------------------------------------------------------------
@@ -559,20 +633,19 @@ class ShardedCodec:
         for g, a in enumerate(word_arrs):
             w_small[g, : a.size] = a
         cap = self._words_cap(S, last_h, last_w)
-        words = self._pad_words(
-            jax.device_put(jnp.asarray(w_small), self.sh_row), cap)
-        states = jax.device_put(jnp.asarray(states_np), self.sh_row)
-        offs = jax.device_put(jnp.zeros((G,), jnp.int32), self.sh_row)
-        one = jnp.int32(1)
+        words = self._pad_words(self._put(w_small, self.sh_row), cap)
+        states = self._put(states_np, self.sh_row)
+        offs = self._put(np.zeros((G,), np.int32), self.sh_row)
+        one = self._one
 
-        raw_dev = jnp.asarray(raw)
+        raw_dev = self._put(np.ascontiguousarray(raw), self.repl)
         c4 = 4 * cfg.cond_channels
         y_lev = None
         rgb = None
         for scl, h, w in self._scale_dims(S, last_h, last_w):
             y_direct = self._sharded_zeros((1, h, w, c4))
             y_prev = y_lev if scl < S - 1 else y_direct
-            y_lev, states, offs, _st, _fr, rgb = self._scale_fn(
+            y_lev, states, offs, _st, _fr, rgb, _ideal = self._scale_fn(
                 self.params, raw_dev, y_prev, y_direct, words, states,
                 offs, one, self._pts3(ranges), scl, ranges)
             self.dispatch_counts["decode"] += 1
@@ -584,7 +657,7 @@ class ShardedCodec:
         """Decode; with ``xorg`` also runs the pre-color-transform YCoCg
         check (recorded in ``last_ycocg_err``)."""
         out, orig_h, orig_w = self.decompress_dispatch(streams)
-        out = np.asarray(jax.device_get(out))
+        out = np.asarray(self._fetch(out))
         if xorg is not None:
             if xorg.ndim == 3:
                 xorg = xorg[None]
@@ -593,15 +666,14 @@ class ShardedCodec:
             xpad = np.pad(
                 xorg, ((0, 0), (0, H - xorg.shape[1]),
                        (0, W - xorg.shape[2]), (0, 0)), mode="edge")
-            self.last_ycocg_err = int(self._ycocg_err(
-                y_lev, jax.device_put(jnp.asarray(xpad.astype(np.uint8)),
-                                      self.sh_img)))
+            self.last_ycocg_err = int(self._fetch(self._ycocg_err(
+                y_lev, self._put(xpad.astype(np.uint8), self.sh_img))))
         return out[:, :orig_h, :orig_w, :]
 
     def decompress_many(self, streams_list) -> List[np.ndarray]:
         """Pipelined decode of several images: enqueue all, sync once."""
         outs = [self.decompress_dispatch(s) for s in streams_list]
-        fetched = jax.device_get([o[0] for o in outs])
+        fetched = self._fetch([o[0] for o in outs])
         return [np.asarray(f)[:, :oh, :ow, :]
                 for f, (_d, oh, ow) in zip(fetched, outs)]
 

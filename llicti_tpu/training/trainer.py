@@ -319,6 +319,14 @@ class Trainer:
             act_bits = (sum(sum(row) for row in codec.last_slice_bits)
                         if codec.last_slice_bits else nbytes * 8)
             gap_pct = (act_bits - est_bits) / max(est_bits, 1) * 100
+            # second leg (two-sided closure): actual stream vs the exact
+            # code length of the quantized range-restricted tables — now
+            # emitted by BOTH the single-chip and the sharded codec
+            ideal_bits = (sum(sum(row) for row in codec.last_ideal_bits)
+                          if getattr(codec, "last_ideal_bits", None)
+                          else None)
+            coder_gap_pct = ((act_bits - ideal_bits) / max(ideal_bits, 1)
+                             * 100 if ideal_bits else None)
             ok = np.array_equal(out[0], img)
             numel = img.size
             hdr_row = [len(s) * 8 / numel * 3 for s in streams[0]]
@@ -328,8 +336,10 @@ class Trainer:
             self.test_logger(np.asarray([hdr_row] + slice_rows))
             msg = (f"{idx:3d} {img.shape[0]:3d}x{img.shape[1]:3d} "
                    f"bpsp= {bpsp:.3f} (est {est_bpsp:.3f}, "
-                   f"gap {gap_pct:+.1f}%) "
-                   f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} ")
+                   f"gap {gap_pct:+.1f}%")
+            if coder_gap_pct is not None:
+                msg += f", coder {coder_gap_pct:+.2f}%"
+            msg += f") Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} "
             if ok:
                 msg += "(Check: Decoded img matches original)"
             else:
@@ -339,6 +349,7 @@ class Trainer:
             self.logger.info(msg)
             results.append(dict(bpsp=bpsp, est_bpsp=est_bpsp,
                                 est_gap_pct=gap_pct,
+                                coder_gap_pct=coder_gap_pct,
                                 enc_t=enc_t, dec_t=dec_t, ok=ok))
         self.test_logger.display(typ="te")
         # results.json for tools/results_parser.py (reference

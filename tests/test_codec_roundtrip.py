@@ -173,6 +173,105 @@ def test_pipelined_many_roundtrip():
         assert np.array_equal(out[0], im)
 
 
+def test_pipelined_many_per_image_accounting():
+    """compress_many keeps one accounting table per image (two DIFFERENT
+    images), matching the per-image compress tables; last_slice_bits /
+    last_ideal_bits are the elementwise sums (compress_batch contract)."""
+    cfg = small_cfg()
+    codec = make_codec(cfg)
+    imgs = [natural_image(32, 32, seed=101),
+            natural_image(32, 32, seed=202)]
+    ref_act, ref_ideal = [], []
+    for im in imgs:
+        codec.compress(im)
+        ref_act.append(codec.last_slice_bits)
+        ref_ideal.append(codec.last_ideal_bits)
+    # the two images must actually differ in coded size for this test
+    # to distinguish per-image tables from last-image-only
+    assert ref_act[0] != ref_act[1]
+    codec.compress_many(imgs)
+    assert codec.last_slice_bits_batch == ref_act
+    for got, ref in zip(codec.last_ideal_bits_batch, ref_ideal):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6)
+    S = cfg.num_scales
+    for s in range(S):
+        for i in range(9):
+            assert codec.last_slice_bits[s][i] == (
+                ref_act[0][s][i] + ref_act[1][s][i])
+            np.testing.assert_allclose(
+                codec.last_ideal_bits[s][i],
+                ref_ideal[0][s][i] + ref_ideal[1][s][i], rtol=1e-6)
+
+
+def test_two_stage_roundtrip_and_split_point():
+    """two_stage=True: the pipeline splits at the finest scale (head =
+    coarse scales on the stream PREFIX, tail = scale 0 + chain), both
+    directions on the same head/tail executables.  The container header
+    records the exact head split point so a decoder can dispatch the
+    head after uploading only the prefix (partial-stream decode)."""
+    cfg = small_cfg()
+    model = LLICTIModel(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    codec = Codec(cfg, params, num_lanes=32, two_stage=True)
+    img = natural_image(48, 56, seed=33)
+    streams = codec.compress(img)
+    hdr = streams[0][0]
+    assert len(hdr) == 17
+    head_words = int(np.frombuffer(hdr[13:17], np.uint32)[0])
+    total_words = (len(streams[1][0]) - codec.N * 4) // 2
+    assert 0 < head_words < total_words
+    # header head_words == the coarse scales' slice accounting
+    assert head_words == sum(
+        sum(row) for row in codec.last_slice_bits[:-1]) // 16
+    out = codec.decompress(streams, xorg=img)
+    np.testing.assert_array_equal(out[0], img)
+    assert codec.last_ycocg_err == 0
+    # pipelined + resident + batch paths share the same program pair
+    outs = codec.decompress_many([streams, streams])
+    assert all(np.array_equal(o[0], img) for o in outs)
+    fn = codec.prepare_decode(streams)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(fn()))[0], img)
+    bst = codec.compress_batch([img, img])
+    bouts = codec.decompress_batch(bst)
+    assert all(np.array_equal(o, img) for o in bouts)
+
+
+def test_two_stage_three_scales():
+    """Head covers MULTIPLE coarse scales when S > 2."""
+    cfg = small_cfg(chs=(8, 8, 8), evens=(4, 4, 4), odds=(3, 3, 3),
+                    dwtlevels=(0, 1, 2), useprevlevNN=(False, True, True))
+    model = LLICTIModel(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x)
+    codec = Codec(cfg, params, num_lanes=32, two_stage=True)
+    img = natural_image(40, 56, seed=35)
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    np.testing.assert_array_equal(out[0], img)
+
+
+def test_two_stage_cross_family_decode():
+    """A fused-codec stream decodes losslessly on a two_stage codec of
+    the same params (and vice versa) on this backend — evidence the two
+    program families compute identical CDFs.  (Production guidance stays:
+    match the family across encoder and decoder, like num_lanes.)"""
+    cfg = small_cfg()
+    model = LLICTIModel(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    fused = Codec(cfg, params, num_lanes=32)
+    split = Codec(cfg, params, num_lanes=32, two_stage=True)
+    img = natural_image(32, 48, seed=37)
+    s_fused = fused.compress(img)
+    s_split = split.compress(img)
+    # same payload bytes from both encoders
+    assert s_fused[1][0] == s_split[1][0]
+    np.testing.assert_array_equal(split.decompress(s_fused)[0], img)
+    np.testing.assert_array_equal(fused.decompress(s_split)[0], img)
+
+
 def test_decompress_xorg_check():
     """Pre-color-transform decode check (reference decompres(..., xorg),
     LLICTI_nets.py:168-171): decoded YCoCg == transform(original)."""

@@ -59,3 +59,22 @@ def test_float_matches_int_y_channel():
     # Y/Cg differ at most by the floor-vs-round lifting difference (1 step)
     assert np.max(np.abs(y_flt[..., 0] * 255 - y_int[..., 0])) <= 1.0 + 1e-3
     assert np.max(np.abs(y_flt[..., 2] * 255 - y_int[..., 2])) <= 1.0 + 1e-3
+
+
+def test_numpy_twin_matches_device_int_transform():
+    """The host (numpy) integer lifting used for encode headers must be
+    bit-exact with the jnp version (the encoder derives the container
+    minmax/raw band on host to avoid a per-image device sync)."""
+    from llicti_tpu.ops.color import rgb_int_to_ycocg_r_int_np
+
+    rng = np.random.default_rng(4)
+    rgb_i = rng.integers(0, 256, size=(2, 17, 23, 3), dtype=np.int32)
+    dev = np.asarray(rgb_int_to_ycocg_r_int(jnp.asarray(rgb_i)))
+    host = rgb_int_to_ycocg_r_int_np(rgb_i)
+    np.testing.assert_array_equal(dev, host)
+    # extremes included (floor-division sign behavior)
+    edges = np.array([[[0, 0, 0], [255, 255, 255], [255, 0, 255],
+                       [0, 255, 0], [255, 0, 0], [0, 0, 255]]], np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(rgb_int_to_ycocg_r_int(jnp.asarray(edges))),
+        rgb_int_to_ycocg_r_int_np(edges))

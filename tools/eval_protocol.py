@@ -92,6 +92,14 @@ def main(out_dir: str) -> None:
         "LLICTI_EVAL_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get(
         "LLICTI_EVAL_ONLY", "").split(",")))
+    # LLICTI_EVAL_BUCKET: comma-list of files (or "all") to run through a
+    # pad-to-bucket codec (Codec(size_bucket=...)) — moves a shape family
+    # that crashes the TPU worker at its exact compiled shape into a
+    # known-good bucketed shape family (VERDICT r4 task #2)
+    bucket_files = set(filter(None, os.environ.get(
+        "LLICTI_EVAL_BUCKET", "").split(",")))
+    bucket_size = int(os.environ.get("LLICTI_EVAL_BUCKET_SIZE", "64"))
+    codec_bucketed = [None]  # lazy: most runs never touch it
 
     def flush():
         by = {}
@@ -157,8 +165,11 @@ def main(out_dir: str) -> None:
             if crop:
                 img = img[:crop, :crop]
             # pad-free arbitrary sizes ride the codec's pad-flag path
+            # (bucket-listed files ride the pad-to-bucket path instead)
+            use_bucket = (os.path.basename(f) in bucket_files
+                          or "all" in bucket_files)
             try:
-                run_image(label, idx, f, img)
+                run_image(label, idx, f, img, use_bucket)
             except Exception as e:  # noqa: BLE001 — worker crash etc.
                 logger.info("%s:%2d %s CRASHED: %s", label, idx,
                             os.path.basename(f), repr(e)[:200])
@@ -167,12 +178,24 @@ def main(out_dir: str) -> None:
                                     crashed=True))
             flush()
 
-    def run_image(label, idx, f, img):
+    def run_image(label, idx, f, img, use_bucket=False):
+            if use_bucket:
+                if codec_bucketed[0] is None:
+                    codec_bucketed[0] = Codec(
+                        cfg, params, use_pallas_cdf=on_tpu,
+                        num_lanes=1024 if on_tpu else 128,
+                        size_bucket=bucket_size)
+                c = codec_bucketed[0]
+                # est must cover the same replicate-padded region the
+                # bucketed codec actually codes
+                pm = bucket_size
+            else:
+                c, pm = codec, mult
             t0 = time.time()
-            streams = codec.compress(img)
+            streams = c.compress(img)
             enc_cold = time.time() - t0
             t0 = time.time()
-            out = codec.decompress(streams, xorg=img)
+            out = c.decompress(streams, xorg=img)
             dec_cold = time.time() - t0
             # Warm re-run: the first visit to a shape family pays XLA
             # compilation through the tunnel (tens of seconds); the
@@ -180,43 +203,44 @@ def main(out_dir: str) -> None:
             # (agents/llicti_agent.py:135-149), so report warm times in
             # the log line and keep cold times in results.json.
             t0 = time.time()
-            streams = codec.compress(img)
+            streams = c.compress(img)
             enc_t = time.time() - t0
             t0 = time.time()
-            out = codec.decompress(streams, xorg=img)
+            out = c.decompress(streams, xorg=img)
             dec_t = time.time() - t0
             nbytes = Codec.num_bytes(streams)
             bpsp = nbytes * 8 / img.size
             xpad = pad_to_multiple(img[None].astype(np.float32) / 255.0,
-                                   mult)
+                                   pm)
             # est/act both count the replicate-padded region (the codec
             # codes it then crops), normalized per ORIGINAL subpixel like
             # the actual bpsp above
             est_bits = float(eval_step(params, jnp.asarray(xpad)))
             est_bpsp = est_bits / img.size
-            act_bits = sum(sum(row) for row in codec.last_slice_bits)
+            act_bits = sum(sum(row) for row in c.last_slice_bits)
             gap = (act_bits - est_bits) / max(est_bits, 1) * 100
             # exact code length of the range-restricted quantized tables
             # (computed in-program): act vs ideal isolates rANS overhead
             # and must close two-sidedly on EVERY image, regardless of
             # dynamic range
-            ideal_bits = sum(sum(row) for row in codec.last_ideal_bits)
+            ideal_bits = sum(sum(row) for row in c.last_ideal_bits)
             coder_gap = (act_bits - ideal_bits) / max(ideal_bits, 1) * 100
             ok = bool(np.array_equal(out[0], img))
             numel = img.size
             hdr_row = ([len(s) * 8 / numel * 3 for s in streams[0]]
                        + [0.0] * 9)[:9]
             slice_rows = [[b / numel * 3 for b in row]
-                          for row in codec.last_slice_bits]
+                          for row in c.last_slice_bits]
             test_logger(np.asarray([hdr_row] + slice_rows))
             msg = (f"{label}:{idx:2d} {os.path.basename(f)[:28]:28s} "
                    f"{img.shape[0]:4d}x{img.shape[1]:4d} "
                    f"bpsp= {bpsp:.3f} (est {est_bpsp:.3f}, gap {gap:+.1f}%; "
                    f"ideal {ideal_bits/img.size:.3f}, "
                    f"coder {coder_gap:+.2f}%) "
-                   f"ycocg_err={codec.last_ycocg_err} "
+                   f"ycocg_err={c.last_ycocg_err} "
                    f"Enc/Dec-Times:{enc_t:.3f}/{dec_t:.3f} "
-                   f"(cold {enc_cold:.1f}/{dec_cold:.1f}) ")
+                   f"(cold {enc_cold:.1f}/{dec_cold:.1f}) "
+                   + (f"[bucketed {bucket_size}] " if use_bucket else ""))
             msg += ("(Check: Decoded img matches original)" if ok else
                     "(Error: Decoded img does NOT match original!)")
             logger.info(msg)
@@ -227,12 +251,14 @@ def main(out_dir: str) -> None:
                                 est_gap_pct=round(gap, 2),
                                 ideal_bpsp=round(ideal_bits / img.size, 4),
                                 coder_gap_pct=round(coder_gap, 3),
-                                ycocg_err=codec.last_ycocg_err,
+                                ycocg_err=c.last_ycocg_err,
                                 device=str(jax.devices()[0]),
                                 enc_t=round(enc_t, 3),
                                 dec_t=round(dec_t, 3),
                                 enc_t_cold=round(enc_cold, 3),
-                                dec_t_cold=round(dec_cold, 3), ok=ok))
+                                dec_t_cold=round(dec_cold, 3), ok=ok,
+                                **({"bucketed": bucket_size}
+                                   if use_bucket else {})))
 
     run_split("valid")
     run_split("test")

@@ -155,6 +155,28 @@ def main() -> None:
         _ = codec.decompress_many([streams] * n_pipe)
         pipe_t = min(pipe_t, (time.time() - t0) / n_pipe)
 
+    # ---- 4. two-stage (partial-stream) decode overlap ---------------------
+    # head = coarse scales on the stream PREFIX (dispatched first), tail
+    # upload rides behind it: measures how much of the upload the split
+    # hides vs the fused single-program path, interleaved + spaced so
+    # both families sample the same tunnel phases.
+    codec2 = Codec(cfg, params, use_pallas_cdf=on_tpu, two_stage=True)
+    streams2 = codec2.compress(img)
+    out2 = codec2.decompress(streams2)
+    assert np.array_equal(out2[0], img)
+    head_words = int(np.frombuffer(streams2[0][0][13:17], np.uint32)[0])
+    total_words = (len(streams2[1][0]) - codec2.N * 4) // 2
+    ts_t = fused_t = float("inf")
+    for i in range(4):
+        t0 = time.time()
+        _ = codec2.decompress(streams2)
+        ts_t = min(ts_t, time.time() - t0)
+        t0 = time.time()
+        _ = codec.decompress(streams)
+        fused_t = min(fused_t, time.time() - t0)
+        if i < 3:
+            time.sleep(1.0)
+
     mp = H * W / 1e6
     wire_bytes = nbytes + img.size  # stream up + decoded image down
     result = {
@@ -173,6 +195,9 @@ def main() -> None:
         "wire_bytes_per_img": wire_bytes,
         "device_only_vs_baseline": round(mp / dev_t / 0.60, 2),
         "pipelined_vs_baseline": round(mp / pipe_t / 0.60, 2),
+        "two_stage_latency_ms": round(ts_t * 1000, 1),
+        "fused_latency_ms_same_phase": round(fused_t * 1000, 1),
+        "two_stage_head_frac": round(head_words / max(total_words, 1), 3),
     }
     print(json.dumps(result))
 
