@@ -677,6 +677,60 @@ class ShardedCodec:
         return [np.asarray(f)[:, :oh, :ow, :]
                 for f, (_d, oh, ow) in zip(fetched, outs)]
 
+    def prepare_decode(self, streams):
+        """Stage a container's buffers on the mesh once; returns
+        fn() -> device rgb handle (resident serving path, mirroring the
+        single-chip Codec.prepare_decode): each call re-runs only the S
+        per-scale program dispatches on resident buffers — the sustained
+        per-dispatch time is the mesh's decode throughput, transfers
+        excluded."""
+        cfg = self.cfg
+        hdr = streams[0][0]
+        S = int(np.frombuffer(hdr[:1], np.uint8)[0])
+        G = int(np.frombuffer(hdr[1:2], np.uint8)[0])
+        assert S == cfg.num_scales and G == self.G
+        last_h, last_w = (int(v) for v in np.frombuffer(hdr[2:6], np.uint16))
+        minmax = [int(v) for v in np.frombuffer(streams[0][1], np.int16)]
+        raw = np.frombuffer(streams[0][2], np.uint8).reshape(
+            1, last_h, last_w, 3)
+        ranges = self._ranges(minmax)
+        states_np = np.zeros((G, self.N), np.uint32)
+        word_arrs = []
+        for g, blob in enumerate(streams[1]):
+            s, wds = rd.unpack_stream(blob, self.N)
+            states_np[g] = s
+            word_arrs.append(wds.astype(np.uint16))
+        wmax = max(1, max(a.size for a in word_arrs))
+        up = -(-wmax // 4096) * 4096
+        w_small = np.zeros((G, up), np.uint16)
+        for g, a in enumerate(word_arrs):
+            w_small[g, : a.size] = a
+        cap = self._words_cap(S, last_h, last_w)
+        words = jax.block_until_ready(self._pad_words(
+            self._put(w_small, self.sh_row), cap))
+        states0 = self._put(states_np, self.sh_row)
+        offs0 = self._put(np.zeros((G,), np.int32), self.sh_row)
+        raw_dev = self._put(np.ascontiguousarray(raw), self.repl)
+        one = self._one
+        c4 = 4 * cfg.cond_channels
+        dims = self._scale_dims(S, last_h, last_w)
+        y_dirs = {scl: self._sharded_zeros((1, h, w, c4))
+                  for scl, h, w in dims}
+        pts3 = self._pts3(ranges)
+
+        def dispatch():
+            states, offs = states0, offs0
+            y_lev = rgb = None
+            for scl, _h, _w in dims:
+                y_direct = y_dirs[scl]
+                y_prev = y_lev if scl < S - 1 else y_direct
+                y_lev, states, offs, _st, _fr, rgb, _ideal = self._scale_fn(
+                    self.params, raw_dev, y_prev, y_direct, words, states,
+                    offs, one, pts3, scl, ranges)
+            return rgb
+
+        return dispatch
+
     @staticmethod
     def num_bytes(streams: List[List[bytes]]) -> int:
         return sum(len(s) for g in streams for s in g)

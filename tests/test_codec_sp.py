@@ -214,6 +214,23 @@ def test_sharded_many_apis_match_single_calls():
         assert np.array_equal(out[0], im)
 
 
+def test_sharded_prepare_decode_resident():
+    """Resident serving closure on the mesh path: buffers staged once,
+    each dispatch() re-runs only the S per-scale programs and matches
+    the wire-path decode byte-for-byte."""
+    cfg = small_cfg()
+    codec = make_sharded(cfg, 4)
+    img = natural_image(64, 48, seed=41)
+    streams = codec.compress(img)
+    fn = codec.prepare_decode(streams)
+    out1 = np.asarray(codec._fetch(fn()))
+    out2 = np.asarray(codec._fetch(fn()))
+    ref = codec.decompress(streams)
+    assert np.array_equal(out1, out2)
+    assert np.array_equal(out1[:, :img.shape[0], :img.shape[1], :], ref)
+    assert np.array_equal(ref[0], img)
+
+
 def test_sharded_supports():
     from llicti_tpu.config import ModelConfig
 
