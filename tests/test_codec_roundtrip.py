@@ -252,6 +252,21 @@ def test_two_stage_three_scales():
     np.testing.assert_array_equal(out[0], img)
 
 
+def test_two_stage_with_size_bucket():
+    """two_stage composes with the pad-to-bucket compile strategy (the
+    eval fallback path for crash-listed shape families)."""
+    cfg = small_cfg()
+    model = LLICTIModel(cfg=cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(2), x)
+    codec = Codec(cfg, params, num_lanes=32, two_stage=True, size_bucket=16)
+    img = natural_image(37, 45, seed=39)  # ragged -> pads to 48x48
+    streams = codec.compress(img)
+    out = codec.decompress(streams)
+    assert out.shape == (1, 37, 45, 3)
+    np.testing.assert_array_equal(out[0], img)
+
+
 def test_two_stage_cross_family_decode():
     """A fused-codec stream decodes losslessly on a two_stage codec of
     the same params (and vice versa) on this backend — evidence the two
