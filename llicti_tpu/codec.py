@@ -440,15 +440,16 @@ class Codec:
 
         def _scales_chain(params_, x00_raw, y_prev, y_direct, base, words,
                           states, offset, enable, sf, scls, pts3,
-                          pad_flags_t, ranges, num_lanes):
+                          pad_flags_t, ranges, num_lanes, shift, on):
             """Shared traced body: process ``scls`` (descending) scales.
             y_direct[scl - base] is the encoder's precomputed y_list entry
             (dummy zeros when decoding); y_prev seeds the interleave when
-            the coarsest processed scale is not S-1."""
+            the coarsest processed scale is not S-1.  shift/on are the
+            caller's traced values (created ONCE per program, preserving
+            the fused program's op order — and therefore its persistent
+            compile-cache key — across this refactor)."""
             S = cfg.num_scales
             K = x00_raw.shape[0]
-            shift = jnp.array([127, 0, 0], jnp.int32)
-            on = enable > 0
             y_lev = y_prev
             for scl in scls:
                 if scl == S - 1:
@@ -473,16 +474,15 @@ class Codec:
                         scl, b, padH, padW, ranges, pts3, num_lanes)
             return y_lev, states, offset
 
-        def _finalize_rgb(y_lev, pad_flags_t):
+        def _finalize_rgb(y_lev, pad_flags_t, shift):
             """Final interleave + inverse color transform."""
-            shift = jnp.array([127, 0, 0], jnp.int32)
             y_c = interleave_scale(y_lev, c, int(pad_flags_t[0][0]),
                                    int(pad_flags_t[0][1]))
             y_3ch = y_c[..., clr_off:clr_off + 3]
             ycocg = jnp.round(y_3ch * 255.0).astype(jnp.int32) + shift
             return ycocg_r_int_to_rgb_int(ycocg).astype(jnp.uint8)
 
-        def _chain_and_ideal(sf, enable, K, capw, num_lanes):
+        def _chain_and_ideal(sf, on, K, capw, num_lanes):
             """Encode side: chained rANS encode of all slices in reverse
             decode order (integer-only, so no float-determinism hazard;
             skipped at runtime on decode), plus the per-slice IDEAL code
@@ -493,7 +493,6 @@ class Codec:
             isolates the per-image dynamic-range saving, against (b) the
             actual stream it isolates rANS overhead (lane flush + renorm
             quantization).  Decode-side: zeros (sf skipped under cond)."""
-            on = enable > 0
             n_slices = len(sf) // 2
 
             def do_chain(sf_flat):
@@ -544,15 +543,17 @@ class Codec:
             lane states [K, N])."""
             S = cfg.num_scales
             K = x00_raw.shape[0]
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            on = enable > 0
             offset = jnp.zeros((K,), jnp.int32)
             sf = []
             y_lev, states, _off = _scales_chain(
                 params_, x00_raw, None, y_direct, 0, words, states, offset,
                 enable, sf, tuple(range(S - 1, -1, -1)), pts3, pad_flags_t,
-                ranges, num_lanes)
-            rgb = _finalize_rgb(y_lev, pad_flags_t)
+                ranges, num_lanes, shift, on)
+            rgb = _finalize_rgb(y_lev, pad_flags_t, shift)
             buf, cursors, enc_states, ideal_bits = _chain_and_ideal(
-                sf, enable, K, words.shape[1], num_lanes)
+                sf, on, K, words.shape[1], num_lanes)
             return y_lev, rgb, buf, cursors, enc_states, ideal_bits
 
         @partial(jax.jit, static_argnums=(7, 8, 9))
@@ -564,12 +565,14 @@ class Codec:
             state + the (start, freq) stacks for the encoder's chain."""
             S = cfg.num_scales
             K = x00_raw.shape[0]
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            on = enable > 0
             offset = jnp.zeros((K,), jnp.int32)
             sf = []
             y_lev, states, offset = _scales_chain(
                 params_, x00_raw, None, y_direct_h, 1, words_h, states,
                 offset, enable, sf, tuple(range(S - 1, 0, -1)), pts3,
-                pad_flags_t, ranges, num_lanes)
+                pad_flags_t, ranges, num_lanes, shift, on)
             return y_lev, states, offset, tuple(sf)
 
         @partial(jax.jit, static_argnums=(9, 10, 11))
@@ -580,13 +583,16 @@ class Codec:
             prefix of it), final color transform, and the full-image
             encode chain + ideal bits over head+tail slices."""
             K = y1.shape[0]
+            shift = jnp.array([127, 0, 0], jnp.int32)
+            on = enable > 0
             sf = list(sf_head)
             y_lev, states, _off = _scales_chain(
                 params_, y1, y1, (y_direct0,), 0, words, states, offset,
-                enable, sf, (0,), pts3, pad_flags_t, ranges, num_lanes)
-            rgb = _finalize_rgb(y_lev, pad_flags_t)
+                enable, sf, (0,), pts3, pad_flags_t, ranges, num_lanes,
+                shift, on)
+            rgb = _finalize_rgb(y_lev, pad_flags_t, shift)
             buf, cursors, enc_states, ideal_bits = _chain_and_ideal(
-                sf, enable, K, words.shape[1], num_lanes)
+                sf, on, K, words.shape[1], num_lanes)
             return y_lev, rgb, buf, cursors, enc_states, ideal_bits
 
         # ---- front end (encode): one program per image shape -------------
