@@ -21,3 +21,8 @@ def test_eval_model_sharded(tmp_path):
     assert tr.mesh is not None and tr.mesh.devices.size > 1
     results = tr.eval_model()
     assert results and all(r["ok"] for r in results)
+    # the mesh path now carries the two-sided coder-closure leg
+    # (sharded ideal bits): present and tight on every image
+    for r in results:
+        assert r["coder_gap_pct"] is not None
+        assert abs(r["coder_gap_pct"]) < 10.0
