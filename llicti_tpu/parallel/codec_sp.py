@@ -52,7 +52,8 @@ from ..codec import dense_group_params, gmm_slice_params, sym_channel
 from ..coder import rans_device as rd
 from ..config import ModelConfig
 from ..models.llicti import LLICTIModel
-from ..ops.color import rgb_int_to_ycocg_r_int, ycocg_r_int_to_rgb_int
+from ..ops.color import (rgb_int_to_ycocg_r_int, rgb_int_to_ycocg_r_int_np,
+                         ycocg_r_int_to_rgb_int)
 from ..ops.gmm import cdf_sampling_points, gmm_cdf_table
 from ..ops.wavelet import interleave_scale, lazy_dwt
 
@@ -728,6 +729,36 @@ class ShardedCodec:
                     self.params, raw_dev, y_prev, y_direct, words, states,
                     offs, one, pts3, scl, ranges)
             return rgb
+
+        return dispatch
+
+    def prepare_encode(self, rgb: np.ndarray):
+        """Stage an image on the mesh once; returns fn() ->
+        (curs_per_scale, states, bufs, ideals) device handles — the
+        resident encode serving path, mirroring the single-chip
+        Codec.prepare_encode contract (host finalize excluded: the
+        payload stays sharded in HBM, as when a downstream device
+        consumer or collective takes it).  The header minmax derives on
+        the host via the bit-exact numpy lifting twin, so each dispatch
+        is sync-free."""
+        cfg = self.cfg
+        if rgb.ndim == 3:
+            rgb = rgb[None]
+        assert rgb.shape[0] == 1 and rgb.shape[-1] == 3
+        mh, mw = self._pad_multiple()
+        H = -(-rgb.shape[1] // mh) * mh
+        W = -(-rgb.shape[2] // mw) * mw
+        padded = np.pad(
+            rgb, ((0, 0), (0, H - rgb.shape[1]), (0, W - rgb.shape[2]),
+                  (0, 0)), mode="edge").astype(np.uint8)
+        x_dev = jax.block_until_ready(self._put(padded, self.sh_img))
+        ycocg = rgb_int_to_ycocg_r_int_np(padded[0])
+        minmax = [int(ycocg[..., c].min()) for c in range(3)] + \
+                 [int(ycocg[..., c].max()) for c in range(3)]
+
+        def dispatch():
+            y_list, _mm, x00_raw = self._front(x_dev, cfg.dwtlevels)
+            return self._encode_dispatch(y_list, x00_raw, minmax)
 
         return dispatch
 

@@ -257,3 +257,27 @@ def test_sharded_dispatch_economics_and_xorg():
     codec.dispatch_counts = {"decode": 0, "encode": 0}
     _ = codec.compress(img)
     assert codec.dispatch_counts["encode"] == 2 * S
+
+
+def test_sharded_prepare_encode_resident():
+    """Resident encode closure on the mesh path: the image staged once,
+    each dispatch() re-runs the front + per-scale + chain programs and
+    the finalized payload is byte-identical to the wire-path encode."""
+    cfg = small_cfg()
+    codec = make_sharded(cfg, 4)
+    img = natural_image(64, 48, seed=43)
+    ref = codec.compress(img)
+    ref_bits = [list(row) for row in codec.last_slice_bits]
+    fn = codec.prepare_encode(img)
+    for _ in range(2):  # two dispatches: resident path is re-runnable
+        curs, states, bufs, _ideals = fn()
+        curs_np, states_np = codec._fetch((curs, states))
+        curs_np = [np.asarray(x) for x in curs_np]
+        maxc = int(np.concatenate(curs_np, axis=0)[-1].max())
+        bucket = min(bufs.shape[1], -(-max(1, maxc) // 16384) * 16384)
+        packed = np.asarray(codec._fetch(bufs[:, :bucket]))
+        streams = codec._encode_finalize(
+            [ref[0]], curs_np, np.asarray(states_np), packed)
+        assert [bytes(b) for b in streams[1]] == [bytes(b) for b in ref[1]]
+        assert [list(row) for row in codec.last_slice_bits] == ref_bits
+    assert np.array_equal(codec.decompress(ref)[0], img)
