@@ -191,7 +191,10 @@ def main() -> None:
         for a, i in zip(codec.last_slice_bits_batch,
                         codec.last_ideal_bits_batch)]
     # batch-container mode (K images, ONE K-batched executable both ways)
-    K = 4
+    # K=8 promoted from the round-5 lane/batch sweep (tools/
+    # lane_experiment.py, docs/eval_r5/lane_sweep.json): 22.2 ms/img
+    # device-sustained vs 24.0 at K=4, both lossless
+    K = 8
     bstreams = codec.compress_batch([img] * K)  # warm
     bouts = codec.decompress_batch(bstreams)
     ok_batch = all(np.array_equal(o, img) for o in bouts)
